@@ -1,0 +1,404 @@
+"""Hierarchical population likelihoods (L2).
+
+Feature-for-feature re-design of the reference's two numpyro models
+(``src/scripts/intensity_models.py:313-406``):
+
+* :func:`pop_loglike` — population-only fit at fixed Planck18 cosmology,
+  source-frame data (m1, q, z).
+* :func:`pop_cosmo_loglike` — joint population + flat-wCDM cosmology fit,
+  detector-frame data (m1_det, q, dL), with the per-draw cosmology table and
+  the (m1_det, q, dL) → (m1, q, z) change of variables inside the hot path.
+
+Both decompose as
+
+    log L = Σ_events [ logsumexp_samples(log w) − log nsamp ]  −  nobs·log μ_sel
+    log μ_sel = logsumexp_injections(log w_sel) − log Ndraw
+
+The per-event reduction is over the PE-sample axis; the selection reduction is
+over the injection axis.  Under a mesh both axes can be sharded — see
+:mod:`bumpcosmology_tpu.parallel` — because every reduction here is a
+log-sum-exp with the streaming max-plus-accumulate form.
+
+Deterministic diagnostics (``neff``, ``neff_sel``, ``R``, the three
+posterior-predictive rate curves, ``hz``) are *not* computed inside the
+potential — they are reconstructed post-hoc from the posterior draws by
+:func:`pop_deterministics` / :func:`pop_cosmo_deterministics`, which is also
+how numpyro treats ``numpyro.deterministic`` sites.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax.scipy.special import logsumexp
+
+from bumpcosmology_tpu.inference.distributions import Normal, TruncatedNormal, Uniform
+from bumpcosmology_tpu.inference.model import ModelSpec
+from bumpcosmology_tpu.models.cosmology import (
+    CosmologyTable,
+    build_cosmology,
+    ddl_dz_at_z,
+    dvc_dz_at_z,
+    efunc,
+    planck18_log_dvdz_grid,
+    z_at_dl,
+)
+from bumpcosmology_tpu.models.mass import DEFAULT_N_GRID
+from bumpcosmology_tpu.models.parameters import (
+    CosmoParams,
+    MassParams,
+    PopulationParams,
+    RedshiftParams,
+)
+from bumpcosmology_tpu.models.population import (
+    COORDS,
+    QREF,
+    build_population,
+    log_dndmdqdv,
+)
+from bumpcosmology_tpu.models.mass import MREF
+from bumpcosmology_tpu.models.redshift import ZREF
+from bumpcosmology_tpu.ops.interp import interp_unit_spaced
+
+__all__ = [
+    "EventData",
+    "SelectionData",
+    "FixedCosmoGrid",
+    "PopData",
+    "PopCosmoData",
+    "make_pop_data",
+    "make_pop_cosmo_data",
+    "population_from_sites",
+    "cosmo_from_sites",
+    "pop_loglike",
+    "pop_cosmo_loglike",
+    "pop_deterministics",
+    "pop_cosmo_deterministics",
+    "POP_PRIORS",
+    "POP_COSMO_PRIORS",
+    "pop_model_spec",
+    "pop_cosmo_model_spec",
+]
+
+
+# ---------------------------------------------------------------------------
+# Data containers (pytrees)
+# ---------------------------------------------------------------------------
+
+
+class EventData(NamedTuple):
+    """Per-event PE samples, stacked (nobs, nsamp).
+
+    For the population-only model the columns are source-frame (m1, q, z);
+    for the cosmology model they are detector-frame (m1_det, q, dL) — the
+    same container is reused with ``a`` meaning m1 or m1_det and ``c``
+    meaning z or dL.
+    """
+
+    a: jnp.ndarray  # (nobs, nsamp) m1 [source] or m1_det
+    q: jnp.ndarray  # (nobs, nsamp)
+    c: jnp.ndarray  # (nobs, nsamp) z or dL [Gpc]
+    log_pdraw: jnp.ndarray  # (nobs, nsamp)
+
+
+class SelectionData(NamedTuple):
+    """Detected injections for the selection integral (nsel,)."""
+
+    a: jnp.ndarray  # (nsel,) m1 or m1_det
+    q: jnp.ndarray
+    c: jnp.ndarray  # z or dL
+    log_pdraw: jnp.ndarray
+    log_ndraw: jnp.ndarray  # scalar: log of the total number of drawn injections
+
+
+class FixedCosmoGrid(NamedTuple):
+    """Fixed-cosmology measure log[4π dVc/dz/(1+z)] on a log1p(z)-uniform grid.
+
+    Equivalent of the Planck18 interpolant the reference builds at trace time
+    (``intensity_models.py:324-326``).  Stored in log space (the reference
+    interpolates the linear table then logs; interpolating the log table is
+    smoother and equally accurate at n=1024).
+    """
+
+    u0: jnp.ndarray
+    du: jnp.ndarray
+    log_dv: jnp.ndarray  # (n,)
+
+    def log_dvdz_dt(self, z):
+        return interp_unit_spaced(jnp.log1p(z), self.u0, self.du, self.log_dv)
+
+
+class PopData(NamedTuple):
+    events: EventData  # source frame (m1, q, z)
+    selection: SelectionData
+    planck: FixedCosmoGrid
+
+
+class PopCosmoData(NamedTuple):
+    events: EventData  # detector frame (m1_det, q, dL)
+    selection: SelectionData
+
+
+def make_pop_data(
+    m1s, qs, zs, pdraw, m1s_sel, qs_sel, zs_sel, pdraw_sel, ndraw, dtype=jnp.float32
+) -> PopData:
+    """Assemble :class:`PopData` from raw arrays (cf. ``run_fit.py:22-39``)."""
+    zgrid, log_dv = planck18_log_dvdz_grid()
+    du = np.log1p(zgrid[-1]) / (len(zgrid) - 1)
+    planck = FixedCosmoGrid(
+        u0=jnp.asarray(0.0, dtype),
+        du=jnp.asarray(du, dtype),
+        log_dv=jnp.asarray(log_dv, dtype),
+    )
+    ev = EventData(
+        a=jnp.asarray(m1s, dtype),
+        q=jnp.asarray(qs, dtype),
+        c=jnp.asarray(zs, dtype),
+        log_pdraw=jnp.log(jnp.asarray(pdraw, dtype)),
+    )
+    sel = SelectionData(
+        a=jnp.asarray(m1s_sel, dtype),
+        q=jnp.asarray(qs_sel, dtype),
+        c=jnp.asarray(zs_sel, dtype),
+        log_pdraw=jnp.log(jnp.asarray(pdraw_sel, dtype)),
+        log_ndraw=jnp.log(jnp.asarray(ndraw, dtype)),
+    )
+    return PopData(events=ev, selection=sel, planck=planck)
+
+
+def make_pop_cosmo_data(
+    m1s_det, qs, dls, pdraw, m1s_det_sel, qs_sel, dls_sel, pdraw_sel, ndraw, dtype=jnp.float32
+) -> PopCosmoData:
+    """Assemble :class:`PopCosmoData` (cf. ``run_cosmo_fit.py:21-49``)."""
+    ev = EventData(
+        a=jnp.asarray(m1s_det, dtype),
+        q=jnp.asarray(qs, dtype),
+        c=jnp.asarray(dls, dtype),
+        log_pdraw=jnp.log(jnp.asarray(pdraw, dtype)),
+    )
+    sel = SelectionData(
+        a=jnp.asarray(m1s_det_sel, dtype),
+        q=jnp.asarray(qs_sel, dtype),
+        c=jnp.asarray(dls_sel, dtype),
+        log_pdraw=jnp.log(jnp.asarray(pdraw_sel, dtype)),
+        log_ndraw=jnp.log(jnp.asarray(ndraw, dtype)),
+    )
+    return PopCosmoData(events=ev, selection=sel)
+
+
+# ---------------------------------------------------------------------------
+# Site dict -> model parameter pytrees
+# ---------------------------------------------------------------------------
+
+
+def population_from_sites(sites: Dict[str, jnp.ndarray]) -> PopulationParams:
+    """Reparameterizations shared by both models (``intensity_models.py:288,294,301``):
+
+    mbhmax = mpisn + dmbhmax,  fpl = exp(log_fpl),  kappa = lam + dkappa.
+    """
+    mass = MassParams(
+        a=sites["a"],
+        b=sites["b"],
+        c=sites["c"],
+        mpisn=sites["mpisn"],
+        mbhmax=sites["mpisn"] + sites["dmbhmax"],
+        sigma=sites["sigma"],
+        fpl=jnp.exp(sites["log_fpl"]),
+        beta=sites["beta"],
+    )
+    redshift = RedshiftParams(
+        lam=sites["lam"], kappa=sites["lam"] + sites["dkappa"], zp=sites["zp"]
+    )
+    return PopulationParams(mass=mass, redshift=redshift)
+
+
+def cosmo_from_sites(sites: Dict[str, jnp.ndarray]) -> CosmoParams:
+    return CosmoParams(h=sites["h"], Om=sites["Om"], w=sites["w"])
+
+
+# ---------------------------------------------------------------------------
+# Log-likelihoods
+# ---------------------------------------------------------------------------
+
+
+def _selection_neff_terms(log_sel_wts: jnp.ndarray, log_ndraw: jnp.ndarray):
+    """(log_mu_sel, neff_sel) — selection mean and its effective sample size.
+
+    Implements the variance diagnostic of Farr (2019) exactly as the
+    reference does (``intensity_models.py:338-344``), with an f32-safe clamp
+    on the ``log1p(-exp(·))`` argument.
+    """
+    log_mu = logsumexp(log_sel_wts) - log_ndraw
+    log_mu2 = logsumexp(2.0 * log_sel_wts) - 2.0 * log_ndraw
+    x = 2.0 * log_mu - log_ndraw - log_mu2
+    x = jnp.minimum(x, -1e-7)  # guard: mathematically x<0; f32 rounding can cross
+    log_s2 = log_mu2 + jnp.log1p(-jnp.exp(x))
+    neff_sel = jnp.exp(2.0 * log_mu - log_s2)
+    return log_mu, neff_sel
+
+
+def _pop_event_sel_logwts(sites, data: PopData, n_grid: int):
+    pop = build_population(population_from_sites(sites), n_grid)
+    ev, sel = data.events, data.selection
+    log_wts = (
+        log_dndmdqdv(pop, ev.a, ev.q, ev.c)
+        + data.planck.log_dvdz_dt(ev.c)
+        - ev.log_pdraw
+    )
+    log_sel_wts = (
+        log_dndmdqdv(pop, sel.a, sel.q, sel.c)
+        + data.planck.log_dvdz_dt(sel.c)
+        - sel.log_pdraw
+    )
+    return pop, log_wts, log_sel_wts
+
+
+def pop_loglike(sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """Population-only log-likelihood (``pop_model``, ``intensity_models.py:313-340``)."""
+    ev = data.events
+    nobs, nsamp = ev.a.shape
+    _, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid)
+    log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
+    log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
+    return jnp.sum(log_like) - nobs * log_mu_sel
+
+
+def _cosmo_frame_logwts(pop, cosmo: CosmologyTable, a, q, dl, log_pdraw):
+    """Detector-frame weight: population intensity × full Jacobian.
+
+    z = z(dL); m1 = m1_det/(1+z); weight multiplies
+    −2·log1p(z) + log dVc/dz − log ddL/dz  (``intensity_models.py:378-388``).
+    """
+    z = z_at_dl(cosmo, dl)
+    m1 = a / (1.0 + z)
+    return (
+        log_dndmdqdv(pop, m1, q, z)
+        - 2.0 * jnp.log1p(z)
+        + jnp.log(dvc_dz_at_z(cosmo, z))
+        - jnp.log(ddl_dz_at_z(cosmo, z))
+        - log_pdraw
+    )
+
+
+def _pop_cosmo_event_sel_logwts(sites, data: PopCosmoData, n_grid: int, n_z: int):
+    pop = build_population(population_from_sites(sites), n_grid)
+    cosmo = build_cosmology(cosmo_from_sites(sites), n=n_z)
+    ev, sel = data.events, data.selection
+    log_wts = _cosmo_frame_logwts(pop, cosmo, ev.a, ev.q, ev.c, ev.log_pdraw)
+    log_sel_wts = _cosmo_frame_logwts(pop, cosmo, sel.a, sel.q, sel.c, sel.log_pdraw)
+    return pop, cosmo, log_wts, log_sel_wts
+
+
+def pop_cosmo_loglike(
+    sites: Dict[str, jnp.ndarray],
+    data: PopCosmoData,
+    n_grid: int = DEFAULT_N_GRID,
+    n_z: int = 1024,
+):
+    """Joint population+cosmology log-likelihood (``pop_cosmo_model``,
+    ``intensity_models.py:357-390``)."""
+    ev = data.events
+    nobs, nsamp = ev.a.shape
+    _, _, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(sites, data, n_grid, n_z)
+    log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
+    log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
+    return jnp.sum(log_like) - nobs * log_mu_sel
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sites (posterior post-processing)
+# ---------------------------------------------------------------------------
+
+
+def _shared_deterministics(sites, pop, log_wts, log_sel_wts, log_ndraw, nobs):
+    log_mu_sel, neff_sel = _selection_neff_terms(log_sel_wts, log_ndraw)
+    mu_sel = jnp.exp(log_mu_sel)
+    # Rate via the unit-normal reparameterization (``intensity_models.py:348-349``)
+    R = nobs / mu_sel + jnp.sqrt(jnp.asarray(nobs, dtype=mu_sel.dtype)) / mu_sel * sites["R_unit"]
+    neff = jnp.exp(2.0 * logsumexp(log_wts, axis=1) - logsumexp(2.0 * log_wts, axis=1))
+
+    m_grid = jnp.asarray(COORDS["m_grid"], dtype=log_wts.dtype)
+    q_grid = jnp.asarray(COORDS["q_grid"], dtype=log_wts.dtype)
+    z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
+    out = {
+        "mbhmax": pop.params.mass.mbhmax,
+        "kappa": pop.params.redshift.kappa,
+        "fpl": pop.params.mass.fpl,
+        "neff_sel": neff_sel,
+        "neff": neff,
+        "R": R,
+        "mdNdmdVdt_fixed_qz": m_grid * R * jnp.exp(log_dndmdqdv(pop, m_grid, QREF, ZREF)),
+        "dNdqdVdt_fixed_mz": MREF * R * jnp.exp(log_dndmdqdv(pop, MREF, q_grid, ZREF)),
+        "dNdVdt_fixed_mq": MREF * R * jnp.exp(log_dndmdqdv(pop, MREF, QREF, z_grid)),
+    }
+    return out
+
+
+def pop_deterministics(sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """All deterministic trace sites of ``pop_model`` (``intensity_models.py:342-355``)."""
+    nobs = data.events.a.shape[0]
+    pop, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid)
+    return _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+
+
+def pop_cosmo_deterministics(
+    sites: Dict[str, jnp.ndarray], data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+):
+    """All deterministic trace sites of ``pop_cosmo_model`` (``intensity_models.py:392-406``)."""
+    nobs = data.events.a.shape[0]
+    pop, cosmo, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(sites, data, n_grid, n_z)
+    out = _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+    z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
+    out["hz"] = cosmo.params.h * efunc(z_grid, cosmo.params)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Hyperpriors (``intensity_models.py:281-311``) and model specs
+# ---------------------------------------------------------------------------
+
+_MASS_PRIORS = {
+    "a": TruncatedNormal(2.35, 2.0, low=-1.65, high=6.35),
+    "b": TruncatedNormal(1.9, 2.0, low=-2.1, high=5.9),
+    "c": TruncatedNormal(4.0, 2.0, low=0.0, high=8.0),
+    "mpisn": TruncatedNormal(35.0, 5.0, low=20.0, high=50.0),
+    "dmbhmax": TruncatedNormal(5.0, 2.0, low=0.5, high=11.0),
+    "sigma": TruncatedNormal(2.0, 2.0, low=1.0),
+    "beta": Normal(0.0, 2.0),
+    "log_fpl": Uniform(math.log(1e-3), math.log(0.5)),
+}
+
+_REDSHIFT_PRIORS = {
+    "lam": TruncatedNormal(2.7, 2.0, low=-1.3, high=6.7),
+    "dkappa": TruncatedNormal(5.6 - 2.7, 2.0, low=1.0, high=9.6 - 2.7),
+    "zp": TruncatedNormal(1.9, 1.0, low=0.0, high=3.9),
+}
+
+_COSMO_PRIORS = {
+    "h": TruncatedNormal(0.7, 0.2, low=0.35, high=1.4),
+    "Om": TruncatedNormal(0.3, 0.15, low=0.0, high=1.0),
+    "w": TruncatedNormal(-1.0, 0.25, low=-1.5, high=-0.5),
+}
+
+_RATE_PRIORS = {"R_unit": Normal(0.0, 1.0)}
+
+POP_PRIORS = {**_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
+POP_COSMO_PRIORS = {**_COSMO_PRIORS, **_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
+
+
+def pop_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
+    """The population-only model as a :class:`ModelSpec` (12 sites)."""
+    return ModelSpec(
+        priors=dict(POP_PRIORS),
+        loglike=lambda sites: pop_loglike(sites, data, n_grid),
+    )
+
+
+def pop_cosmo_model_spec(data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024) -> ModelSpec:
+    """The joint population+cosmology model as a :class:`ModelSpec` (15 sites)."""
+    return ModelSpec(
+        priors=dict(POP_COSMO_PRIORS),
+        loglike=lambda sites: pop_cosmo_loglike(sites, data, n_grid, n_z),
+    )

@@ -1,0 +1,140 @@
+"""High-level fit driver: ModelSpec → posterior trace (L4).
+
+The equivalent of the reference's ``NUTS(...); MCMC(...); mcmc.run(...)``
+sequence (``src/scripts/run_fit.py:35-39``) with the TPU-native extras the
+reference lacks:
+
+* vectorized chains (vmap; hundreds of chains batch on one chip),
+* per-phase wall-clock + ESS/sec reporting,
+* warmup-state checkpointing for mid-MCMC resume,
+* deterministic-site reconstruction as a separate batched post-pass
+  (keeps the NUTS hot loop free of predictive-grid work).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bumpcosmology_tpu.inference.diagnostics import summary
+from bumpcosmology_tpu.inference.model import ModelSpec, constrain, make_potential, prior_sample
+from bumpcosmology_tpu.inference.nuts import (
+    NutsConfig,
+    WarmupResult,
+    run_sampling,
+    run_warmup,
+)
+
+__all__ = ["FitResult", "fit", "compute_deterministics"]
+
+
+class FitResult(NamedTuple):
+    posterior: Dict[str, np.ndarray]  # site -> (chains, draws) or (chains, draws, k)
+    sample_stats: Dict[str, np.ndarray]
+    warmup_state: WarmupResult  # adapted state (checkpointable)
+    final_state: WarmupResult  # post-sampling state (for continuation)
+    timings: Dict[str, float]
+
+    def summary(self):
+        return summary({k: v for k, v in self.posterior.items() if np.ndim(v) == 2})
+
+
+def compute_deterministics(
+    spec: ModelSpec,
+    theta: jnp.ndarray,  # (chains, draws, dim)
+    det_fn: Callable[[Dict[str, jnp.ndarray]], Dict[str, jnp.ndarray]],
+    batch_size: int = 128,
+) -> Dict[str, np.ndarray]:
+    """Vectorized post-pass computing deterministic sites for every draw."""
+    nchains, ndraws, dim = theta.shape
+    flat = theta.reshape(nchains * ndraws, dim)
+
+    def one(t):
+        return det_fn(constrain(spec, t))
+
+    out = jax.lax.map(one, flat, batch_size=batch_size)
+    return {
+        k: np.asarray(v).reshape((nchains, ndraws) + v.shape[1:]) for k, v in out.items()
+    }
+
+
+def fit(
+    spec: ModelSpec,
+    key: jnp.ndarray,
+    num_warmup: int = 1000,
+    num_samples: int = 1000,
+    num_chains: int = 4,
+    cfg: NutsConfig = NutsConfig(),
+    deterministics_fn: Optional[Callable] = None,
+    init_theta: Optional[jnp.ndarray] = None,
+    warmup_state: Optional[WarmupResult] = None,
+    verbose: bool = True,
+) -> FitResult:
+    """Run NUTS on ``spec``; returns constrained posterior + stats + states.
+
+    ``warmup_state`` (from a previous :class:`FitResult`) skips adaptation —
+    the resume path the reference lacks (SURVEY.md §5 checkpoint/resume).
+    """
+    potential = make_potential(spec)
+    k_init, k_warm, k_sample = jax.random.split(key, 3)
+
+    timings: Dict[str, float] = {}
+    if warmup_state is None:
+        if init_theta is None:
+            init_theta = jax.vmap(lambda k: prior_sample(spec, k))(
+                jax.random.split(k_init, num_chains)
+            )
+        t0 = time.perf_counter()
+        warm, _ = run_warmup(potential, init_theta, k_warm, num_warmup, cfg)
+        jax.block_until_ready(warm.state.theta)
+        timings["warmup_s"] = time.perf_counter() - t0
+        if verbose:
+            print(f"[fit] warmup: {num_warmup} steps x {num_chains} chains in {timings['warmup_s']:.1f}s")
+    else:
+        warm = warmup_state
+
+    t0 = time.perf_counter()
+    thetas, stats, final = run_sampling(potential, warm, k_sample, num_samples, cfg)
+    jax.block_until_ready(thetas)
+    timings["sampling_s"] = time.perf_counter() - t0
+
+    posterior = {
+        name: np.asarray(vals)
+        for name, vals in constrain(spec, thetas).items()
+    }
+    sample_stats = {
+        "accept_prob": np.asarray(stats.accept_prob),
+        "diverging": np.asarray(stats.diverging),
+        "tree_depth": np.asarray(stats.tree_depth),
+        "n_leapfrog": np.asarray(stats.n_leapfrog),
+        "potential_energy": np.asarray(stats.energy),
+        "step_size": np.asarray(stats.step_size),
+    }
+
+    if deterministics_fn is not None:
+        t0 = time.perf_counter()
+        det = compute_deterministics(spec, thetas, deterministics_fn)
+        timings["deterministics_s"] = time.perf_counter() - t0
+        posterior.update(det)
+
+    if verbose:
+        total = num_chains * num_samples
+        sam_s = timings["sampling_s"]
+        scalar = {k: v for k, v in posterior.items() if np.ndim(v) == 2}
+        ess_min = min(s["ess"] for s in summary(scalar).values()) if scalar else float("nan")
+        print(
+            f"[fit] sampling: {total} draws in {sam_s:.1f}s "
+            f"({total / sam_s:.1f} draws/s, min-ESS/s {ess_min / sam_s:.2f}, "
+            f"divergences {sample_stats['diverging'].sum():.0f})"
+        )
+
+    return FitResult(
+        posterior=posterior,
+        sample_stats=sample_stats,
+        warmup_state=warm,
+        final_state=final,
+        timings=timings,
+    )

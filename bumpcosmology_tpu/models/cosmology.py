@@ -1,0 +1,227 @@
+"""Flat wCDM cosmology with interpolated distance/volume kernels (L1).
+
+Re-design of the reference ``FlatwCDMCosmology``
+(``src/scripts/intensity_models.py:212-273``): comoving distance by cumulative
+trapezoid of ``dH/E(z)`` on a grid uniform in ``log(1+z)``, with forward
+lookups (``dC, dL, ddL/dz, VC, dVC/dz``) and inverse lookups (``z_of_dL,
+z_of_dC``) by monotone interpolation.
+
+TPU-first notes
+---------------
+* The table is built *inside* the jitted likelihood for every hyperparameter
+  draw (the reference does the same per leapfrog step); with 1024 points this
+  is a single fused ``cumsum`` scan on the VPU.
+* Forward lookups exploit the grid's uniformity in ``u = log1p(z)``: O(1)
+  index arithmetic instead of a binary search.  Inverse lookups (z from dL)
+  use searchsorted interpolation against the strictly increasing distance
+  table.
+* The fixed Planck18 tables used by the population-only model
+  (``intensity_models.py:324-326``) and by the ingestion weights
+  (``weighting.py:33-46``) are precomputed once at import in float64 numpy.
+
+Units: distances in Gpc, volumes in Gpc^3, ``dH = c / (100 h km/s/Mpc)``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from bumpcosmology_tpu.models.parameters import CosmoParams, PLANCK18
+from bumpcosmology_tpu.ops.integrate import cumtrapz
+from bumpcosmology_tpu.ops.interp import interp, interp_unit_spaced
+
+__all__ = [
+    "HUBBLE_DISTANCE_H",
+    "efunc",
+    "hubble_distance",
+    "CosmologyTable",
+    "build_cosmology",
+    "z_at_dl",
+    "z_at_dc",
+    "dc_at_z",
+    "dl_at_z",
+    "ddl_dz_at_z",
+    "vc_at_z",
+    "dvc_dz_at_z",
+    "log_diff_comoving_volume_rate",
+    "planck18_table",
+    "planck18_log_dvdz_grid",
+]
+
+# c / (100 km/s/Mpc) in Gpc.  The reference truncates to 2.99792
+# (``intensity_models.py:239``); we carry the full constant.
+HUBBLE_DISTANCE_H = 2.99792458
+
+DEFAULT_ZMAX = 100.0
+DEFAULT_NZ = 1024
+
+
+def efunc(z, params: CosmoParams):
+    """E(z) = H(z)/H0 for flat wCDM (``intensity_models.py:253-256``)."""
+    opz = 1.0 + jnp.asarray(z)
+    opz3 = opz * opz * opz
+    return jnp.sqrt(params.Om * opz3 + (1.0 - params.Om) * opz ** (3.0 * (1.0 + params.w)))
+
+
+def hubble_distance(params: CosmoParams):
+    """Hubble distance c/H0 in Gpc."""
+    return HUBBLE_DISTANCE_H / params.h
+
+
+class CosmologyTable(NamedTuple):
+    """Distance/volume tables for one cosmology draw — a pytree.
+
+    The redshift knots are ``z[i] = expm1(u0 + i*du)`` (uniform in
+    ``u = log1p(z)``), enabling O(1) forward lookups.
+    """
+
+    params: CosmoParams
+    u0: jnp.ndarray  # = log1p(z_min) = 0
+    du: jnp.ndarray  # uniform spacing in log1p(z)
+    z: jnp.ndarray  # (n,) redshift knots
+    dc: jnp.ndarray  # (n,) comoving distance [Gpc]
+    dl: jnp.ndarray  # (n,) luminosity distance [Gpc]
+    ddl: jnp.ndarray  # (n,) d(dL)/dz [Gpc]
+    vc: jnp.ndarray  # (n,) comoving volume 4/3 pi dc^3 [Gpc^3]
+    dvc: jnp.ndarray  # (n,) dVc/dz = 4 pi dc^2 dH / E [Gpc^3]
+
+
+def build_cosmology(
+    params: CosmoParams, zmax: float = DEFAULT_ZMAX, n: int = DEFAULT_NZ
+) -> CosmologyTable:
+    """Build the distance/volume tables (``intensity_models.py:229-235``)."""
+    u = jnp.linspace(0.0, jnp.log1p(zmax), n)
+    z = jnp.expm1(u)
+    dh = hubble_distance(params)
+    inv_e = 1.0 / efunc(z, params)
+    dc = dh * cumtrapz(inv_e, z)
+    dl = dc * (1.0 + z)
+    ddl = dc + dh * (1.0 + z) * inv_e
+    vc = (4.0 / 3.0) * jnp.pi * dc * dc * dc
+    dvc = 4.0 * jnp.pi * dc * dc * dh * inv_e
+    du = jnp.log1p(zmax) / (n - 1)
+    return CosmologyTable(
+        params=params,
+        u0=jnp.asarray(0.0, dtype=z.dtype),
+        du=jnp.asarray(du, dtype=z.dtype),
+        z=z,
+        dc=dc,
+        dl=dl,
+        ddl=ddl,
+        vc=vc,
+        dvc=dvc,
+    )
+
+
+def _forward(table: CosmologyTable, z, col: jnp.ndarray):
+    """O(1) lookup of a table column at redshift ``z`` (uniform in log1p z)."""
+    u = jnp.log1p(jnp.asarray(z))
+    return interp_unit_spaced(u, table.u0, table.du, col)
+
+
+def dc_at_z(table: CosmologyTable, z):
+    return _forward(table, z, table.dc)
+
+
+def dl_at_z(table: CosmologyTable, z):
+    return _forward(table, z, table.dl)
+
+
+def ddl_dz_at_z(table: CosmologyTable, z):
+    return _forward(table, z, table.ddl)
+
+
+def vc_at_z(table: CosmologyTable, z):
+    return _forward(table, z, table.vc)
+
+
+def dvc_dz_at_z(table: CosmologyTable, z):
+    return _forward(table, z, table.dvc)
+
+
+def z_at_dl(table: CosmologyTable, dl):
+    """Inverse lookup z(dL) (``intensity_models.py:272-273``)."""
+    return interp(dl, table.dl, table.z)
+
+
+def z_at_dc(table: CosmologyTable, dc):
+    """Inverse lookup z(dC) (``intensity_models.py:270-271``)."""
+    return interp(dc, table.dc, table.z)
+
+
+def log_diff_comoving_volume_rate(table: CosmologyTable, z):
+    """log of 4π dVc/dz/(1+z): the comoving-volume x time-dilation measure.
+
+    This is the factor the likelihood multiplies into every event/selection
+    weight (``intensity_models.py:326,334,338``; there via astropy's
+    ``differential_comoving_volume`` which is per steradian, hence the 4π).
+    """
+    return jnp.log(_forward(table, z, table.dvc)) - jnp.log1p(jnp.asarray(z))
+
+
+# ---------------------------------------------------------------------------
+# Fixed Planck18 tables (float64 numpy, computed once at import).
+# ---------------------------------------------------------------------------
+
+
+def _build_numpy_table(params: CosmoParams, zmax: float, n: int):
+    u = np.linspace(0.0, np.log1p(zmax), n)
+    z = np.expm1(u)
+    dh = HUBBLE_DISTANCE_H / params.h
+    opz = 1.0 + z
+    e = np.sqrt(params.Om * opz**3 + (1.0 - params.Om) * opz ** (3.0 * (1.0 + params.w)))
+    inv_e = 1.0 / e
+    seg = 0.5 * np.diff(z) * (inv_e[:-1] + inv_e[1:])
+    dc = dh * np.concatenate([[0.0], np.cumsum(seg)])
+    return {
+        "z": z,
+        "dc": dc,
+        "dl": dc * opz,
+        "ddl": dc + dh * opz * inv_e,
+        "vc": 4.0 / 3.0 * np.pi * dc**3,
+        "dvc": 4.0 * np.pi * dc**2 * dh * inv_e,
+        "e": e,
+    }
+
+
+# 8192-point float64 master table for Planck18; downsampled views are exposed
+# through :func:`planck18_table` below.
+_PLANCK18_NP = _build_numpy_table(PLANCK18, DEFAULT_ZMAX, 8192)
+
+
+def planck18_table(dtype=jnp.float32) -> CosmologyTable:
+    """A high-resolution fixed Planck18 :class:`CosmologyTable` (device constants)."""
+    t = _PLANCK18_NP
+    n = t["z"].shape[0]
+    du = np.log1p(DEFAULT_ZMAX) / (n - 1)
+    return CosmologyTable(
+        params=CosmoParams(*(jnp.asarray(v, dtype=dtype) for v in PLANCK18)),
+        u0=jnp.asarray(0.0, dtype=dtype),
+        du=jnp.asarray(du, dtype=dtype),
+        z=jnp.asarray(t["z"], dtype=dtype),
+        dc=jnp.asarray(t["dc"], dtype=dtype),
+        dl=jnp.asarray(t["dl"], dtype=dtype),
+        ddl=jnp.asarray(t["ddl"], dtype=dtype),
+        vc=jnp.asarray(t["vc"], dtype=dtype),
+        dvc=jnp.asarray(t["dvc"], dtype=dtype),
+    )
+
+
+def planck18_log_dvdz_grid(zmax: float = DEFAULT_ZMAX, n: int = DEFAULT_NZ):
+    """(z_grid, log[4π dVc/dz/(1+z)]) at fixed Planck18, as numpy float64.
+
+    The population-only model interpolates against this fixed grid
+    (``intensity_models.py:324-326``).  Grid is uniform in log1p(z).
+    """
+    t = _build_numpy_table(PLANCK18, zmax, n)
+    # astropy's differential_comoving_volume is per steradian; our dvc already
+    # integrates the 4π solid angle, so the measure is just dvc/(1+z).
+    log_dv = np.where(
+        t["z"] > 0,
+        np.log(t["dvc"], out=np.full_like(t["dvc"], -np.inf), where=t["dvc"] > 0)
+        - np.log1p(t["z"]),
+        -np.inf,
+    )
+    return t["z"], log_dv

@@ -1,0 +1,134 @@
+"""NUTS sampler validation on analytically known targets."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.stats as ss
+
+from bumpcosmology_tpu.inference.diagnostics import ess, split_rhat, summary
+from bumpcosmology_tpu.inference.distributions import Normal, TruncatedNormal, Uniform
+from bumpcosmology_tpu.inference.model import ModelSpec, constrain, make_potential, prior_sample
+from bumpcosmology_tpu.inference.nuts import NutsConfig, run_nuts, warmup_schedule
+
+
+def test_warmup_schedule_structure():
+    upd, end = warmup_schedule(1000)
+    assert upd.shape == (1000,)
+    # fast buffers excluded from covariance accumulation
+    assert not upd[:75].any() and not upd[-50:].any()
+    assert upd[75:-50].all()
+    # final slow window closes exactly at the terminal buffer boundary
+    assert end[1000 - 50 - 1]
+    assert end.sum() >= 3
+
+
+def test_standard_gaussian_recovery():
+    dim = 3
+
+    def potential(theta):
+        return 0.5 * jnp.sum(theta**2)
+
+    key = jax.random.PRNGKey(0)
+    theta0 = jax.random.normal(key, (4, dim)) * 0.5
+    samples, stats, warm, _ = run_nuts(
+        potential, theta0, jax.random.PRNGKey(1), num_warmup=400, num_samples=600
+    )
+    x = np.asarray(samples)  # (4, 600, 3)
+    assert np.all(np.isfinite(x))
+    assert np.asarray(stats.diverging).mean() < 0.02
+    for d in range(dim):
+        assert abs(x[..., d].mean()) < 0.1
+        assert abs(x[..., d].std() - 1.0) < 0.1
+        assert split_rhat(x[..., d]) < 1.05
+        assert ess(x[..., d]) > 200
+
+
+def test_correlated_gaussian_dense_mass():
+    rho = 0.9
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]])).astype(np.float32)
+
+    def potential(theta):
+        return 0.5 * theta @ jnp.asarray(prec) @ theta
+
+    theta0 = jax.random.normal(jax.random.PRNGKey(2), (4, 2))
+    samples, stats, warm, _ = run_nuts(
+        potential, theta0, jax.random.PRNGKey(3), num_warmup=500, num_samples=800
+    )
+    x = np.asarray(samples).reshape(-1, 2)
+    emp = np.cov(x.T)
+    np.testing.assert_allclose(emp[0, 0], 1.0, atol=0.15)
+    np.testing.assert_allclose(emp[0, 1], rho, atol=0.15)
+    # the adapted mass-matrix inverse should approximate the target covariance
+    cov_hat = np.asarray(warm.cov)[0]
+    np.testing.assert_allclose(cov_hat[0, 1] / np.sqrt(cov_hat[0, 0] * cov_hat[1, 1]), rho, atol=0.2)
+
+
+def test_badly_scaled_gaussian():
+    scales = jnp.asarray([0.1, 10.0])
+
+    def potential(theta):
+        return 0.5 * jnp.sum((theta / scales) ** 2)
+
+    theta0 = jax.random.normal(jax.random.PRNGKey(4), (2, 2))
+    samples, stats, _, _ = run_nuts(
+        potential, theta0, jax.random.PRNGKey(5), num_warmup=500, num_samples=600
+    )
+    x = np.asarray(samples)
+    assert abs(x[..., 0].std() - 0.1) < 0.03
+    assert abs(x[..., 1].std() - 10.0) < 3.0
+
+
+def test_prior_only_model_recovers_truncnorm():
+    """Transforms + Jacobians end-to-end: sampling a prior-only ModelSpec must
+    reproduce the prior (the NUTS-side analogue of numpyro's biject_to)."""
+    priors = {
+        "tn2": TruncatedNormal(2.35, 2.0, low=-1.65, high=6.35),
+        "tn1": TruncatedNormal(2.0, 2.0, low=1.0),
+        "u": Uniform(math.log(1e-3), math.log(0.5)),
+        "n": Normal(0.0, 1.0),
+    }
+    spec = ModelSpec(priors=priors, loglike=lambda sites: jnp.asarray(0.0))
+    pot = make_potential(spec)
+    theta0 = jax.vmap(lambda k: prior_sample(spec, k))(jax.random.split(jax.random.PRNGKey(6), 4))
+    samples, stats, _, _ = run_nuts(pot, theta0, jax.random.PRNGKey(7), num_warmup=500, num_samples=1000)
+    sites = constrain(spec, jnp.asarray(samples))
+
+    tn2 = np.asarray(sites["tn2"]).reshape(-1)
+    a, b = (-1.65 - 2.35) / 2.0, (6.35 - 2.35) / 2.0
+    ref2 = ss.truncnorm(a, b, loc=2.35, scale=2.0)
+    assert abs(tn2.mean() - ref2.mean()) < 0.1
+    assert abs(tn2.std() - ref2.std()) < 0.1
+
+    tn1 = np.asarray(sites["tn1"]).reshape(-1)
+    ref1 = ss.truncnorm((1.0 - 2.0) / 2.0, np.inf, loc=2.0, scale=2.0)
+    assert abs(tn1.mean() - ref1.mean()) < 0.12
+    assert abs(tn1.std() - ref1.std()) < 0.12
+
+    u = np.asarray(sites["u"]).reshape(-1)
+    lo, hi = math.log(1e-3), math.log(0.5)
+    assert abs(u.mean() - 0.5 * (lo + hi)) < 0.15
+    assert u.min() > lo and u.max() < hi
+
+    n = np.asarray(sites["n"]).reshape(-1)
+    assert abs(n.mean()) < 0.1 and abs(n.std() - 1.0) < 0.1
+
+
+def test_reproducible_with_fixed_seed():
+    def potential(theta):
+        return 0.5 * jnp.sum(theta**2)
+
+    theta0 = jnp.zeros((2, 2)) + 0.1
+    s1, _, _, _ = run_nuts(potential, theta0, jax.random.PRNGKey(8), num_warmup=100, num_samples=50)
+    s2, _, _, _ = run_nuts(potential, theta0, jax.random.PRNGKey(8), num_warmup=100, num_samples=50)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_summary_and_diagnostics_api():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 500))
+    s = summary({"x": x})["x"]
+    assert abs(s["mean"]) < 0.1
+    assert 0.9 < s["sd"] < 1.1
+    assert s["rhat"] < 1.02
+    assert s["ess"] > 1000  # iid draws

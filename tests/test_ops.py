@@ -1,0 +1,147 @@
+"""L0 kernel tests against scipy/numpy oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.integrate as sint
+from jax.scipy.special import logsumexp as jss_logsumexp
+
+from bumpcosmology_tpu import ops
+
+
+def test_cumtrapz_matches_scipy():
+    rng = np.random.default_rng(0)
+    xs = np.sort(rng.uniform(0, 10, size=257))
+    ys = np.sin(xs) + 2.0
+    got = np.asarray(ops.cumtrapz(jnp.asarray(ys), jnp.asarray(xs)))
+    want = sint.cumulative_trapezoid(ys, xs, initial=0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cumtrapz_batched_axis():
+    rng = np.random.default_rng(1)
+    xs = np.linspace(0.0, 1.0, 33)
+    ys = rng.normal(size=(4, 33))
+    got = np.asarray(ops.cumtrapz(jnp.asarray(ys), jnp.asarray(xs), axis=-1))
+    for i in range(4):
+        want = sint.cumulative_trapezoid(ys[i], xs, initial=0.0)
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-6)
+
+
+def test_trapz_matches_numpy():
+    xs = np.linspace(0, np.pi, 101)
+    ys = np.sin(xs)
+    got = float(ops.trapz(jnp.asarray(ys), jnp.asarray(xs)))
+    np.testing.assert_allclose(got, np.trapezoid(ys, xs), rtol=1e-6)
+
+
+def test_log_trapz_matches_linear_domain():
+    xs = np.linspace(0.1, 5.0, 200)
+    ys = np.exp(-0.5 * (xs - 2.0) ** 2) * xs
+    got = float(ops.log_trapz(jnp.log(ys), jnp.asarray(xs)))
+    want = np.log(np.trapezoid(ys, xs))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_log_trapz_stable_at_large_magnitudes():
+    # weights of order exp(800) would overflow any linear-domain accumulation
+    xs = np.linspace(0.0, 1.0, 64)
+    log_ys = 800.0 + np.sin(xs)
+    got = float(ops.log_trapz(jnp.asarray(log_ys), jnp.asarray(xs)))
+    want = 800.0 + np.log(np.trapezoid(np.exp(np.sin(xs)), xs))
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_log_cumtrapz_consistent_with_cumtrapz():
+    xs = np.linspace(0.5, 3.0, 50)
+    ys = np.cosh(xs)
+    got = np.asarray(ops.log_cumtrapz(jnp.log(ys), jnp.asarray(xs)))
+    want = sint.cumulative_trapezoid(ys, xs, initial=0.0)
+    assert got[0] == -np.inf
+    np.testing.assert_allclose(np.exp(got[1:]), want[1:], rtol=5e-4)
+
+
+def test_interp_matches_jnp_interp():
+    rng = np.random.default_rng(2)
+    xp = np.sort(rng.uniform(-3, 3, size=64))
+    fp = np.cos(xp)
+    x = rng.uniform(-4, 4, size=(7, 11))
+    got = np.asarray(ops.interp(jnp.asarray(x), jnp.asarray(xp), jnp.asarray(fp)))
+    want = np.interp(x, xp, fp)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_interp_unit_spaced_matches_interp():
+    x0, dx, n = -2.0, 0.125, 64
+    xp = x0 + dx * np.arange(n)
+    fp = np.sin(xp)
+    x = np.linspace(-3, 7, 301)
+    got = np.asarray(ops.interp_unit_spaced(jnp.asarray(x), x0, dx, jnp.asarray(fp)))
+    want = np.interp(x, xp, fp)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_inverse_interp_roundtrip():
+    xp = np.linspace(0.0, 10.0, 128)
+    fp = xp**2 + xp  # strictly increasing
+    x = np.linspace(0.5, 9.5, 77)
+    y = np.interp(x, xp, fp)
+    back = np.asarray(ops.inverse_interp(jnp.asarray(y), jnp.asarray(xp), jnp.asarray(fp)))
+    np.testing.assert_allclose(back, x, rtol=1e-4, atol=1e-4)
+
+
+def test_interp_gradients_flow_through_table():
+    xp = jnp.linspace(0.0, 1.0, 16)
+
+    def f(scale):
+        return ops.interp(jnp.asarray(0.53), xp, scale * xp**2)
+
+    g = jax.grad(f)(2.0)
+    assert np.isfinite(g) and abs(float(g) - 0.53**2) < 0.01
+
+
+def test_log_neff_matches_definition():
+    rng = np.random.default_rng(3)
+    w = rng.uniform(0.1, 2.0, size=100)
+    want = np.sum(w) ** 2 / np.sum(w**2)
+    got = float(ops.neff(jnp.log(w)))
+    np.testing.assert_allclose(got, want, rtol=3e-4)
+
+
+def test_logmeanexp():
+    a = np.array([0.0, 1.0, 2.0])
+    got = float(ops.logmeanexp(jnp.asarray(a)))
+    np.testing.assert_allclose(got, np.log(np.mean(np.exp(a))), rtol=1e-4)
+
+
+def test_sharded_logsumexp_equals_dense(cpu_devices):
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    mesh = Mesh(np.array(cpu_devices[:8]), ("data",))
+    rng = np.random.default_rng(4)
+    a = rng.normal(size=(8 * 16, 5)).astype(np.float32) * 10
+
+    def local(x):
+        return ops.sharded_logsumexp(x, "data", axis=0)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P("data", None), out_specs=P(None))
+    got = np.asarray(fn(jnp.asarray(a)))
+    want = np.asarray(jss_logsumexp(jnp.asarray(a), axis=0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_logsumexp_handles_neginf_shards(cpu_devices):
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+
+    mesh = Mesh(np.array(cpu_devices[:8]), ("data",))
+    a = np.full((8 * 4,), -np.inf, dtype=np.float32)
+    a[0] = 1.5
+
+    def local(x):
+        return ops.sharded_logsumexp(x, "data", axis=0)
+
+    fn = shard_map(local, mesh=mesh, in_specs=P("data"), out_specs=P())
+    got = float(fn(jnp.asarray(a)))
+    np.testing.assert_allclose(got, 1.5, rtol=1e-6)
