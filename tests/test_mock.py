@@ -1,0 +1,247 @@
+"""Mock-universe tests: samplers, waveform, antenna patterns, SNR, campaign."""
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bumpcosmology_tpu.data.weights import planck18_dl_np
+from bumpcosmology_tpu.mock import (
+    DETECTORS,
+    MadauZPDF,
+    PowerLawPDF,
+    add_observation_noise,
+    aligo_design_psd,
+    antenna_pattern,
+    campaign_summary,
+    draw_injection_campaign,
+    draw_mock_pe_samples,
+    draw_one_year_catalog,
+    frequency_grid,
+    network_snr,
+    network_snr_batched,
+    phenom_a_amplitude,
+)
+from bumpcosmology_tpu.mock.waveform import MSUN_S, chirp_mass
+
+
+# ------------------------------------------------------------------ samplers
+
+
+def test_power_law_icdf_roundtrip_and_samples():
+    pdf = PowerLawPDF(2.35, 5.0, 500.0)
+    rng = np.random.default_rng(0)
+    x = pdf.icdf(rng.uniform(size=200_000))
+    assert x.min() >= 5.0 and x.max() <= 500.0
+    # slope check: histogram of log-density vs analytic
+    lo, hi = 6.0, 60.0
+    counts, edges = np.histogram(x, bins=np.geomspace(lo, hi, 20), density=True)
+    centers = np.sqrt(edges[1:] * edges[:-1])
+    slope = np.polyfit(np.log(centers), np.log(counts), 1)[0]
+    assert abs(slope - (-2.35)) < 0.1
+
+
+def test_power_law_array_bounds():
+    m1 = np.array([10.0, 30.0])
+    pdf = PowerLawPDF(2.0, m1 + 5.0, 2.0 * m1)
+    mt = pdf.icdf(np.array([0.5, 0.5]))
+    assert np.all(mt > m1 + 5.0) and np.all(mt < 2.0 * m1)
+
+
+def test_madau_zpdf_normalized_and_bounded():
+    zpdf = MadauZPDF()
+    z = zpdf.icdf(np.random.default_rng(1).uniform(size=100_000))
+    assert z.min() >= 0.0 and z.max() <= 3.5
+    norm = np.trapezoid(zpdf(zpdf.zinterp), zpdf.zinterp)
+    np.testing.assert_allclose(norm, 1.0, rtol=1e-3)
+    # rate density peaks near z_p modulated by the volume factor
+    assert 1.0 < z[np.argsort(z)][len(z) // 2] < 2.5
+
+
+# ------------------------------------------------------------------ waveform
+
+
+def test_amplitude_matches_newtonian_inspiral():
+    """Below f_merg the amplitude must equal the Newtonian SPA closed form."""
+    m1, m2, dl = 10.0, 8.0, 1.0
+    f = jnp.asarray([20.0, 40.0])
+    got = np.asarray(phenom_a_amplitude(f, m1, m2, dl))
+    mc_s = chirp_mass(m1, m2) * MSUN_S
+    want = (
+        math.sqrt(5.0 / 24.0)
+        * math.pi ** (-2.0 / 3.0)
+        * mc_s ** (5.0 / 6.0)
+        * np.asarray(f) ** (-7.0 / 6.0)
+        * (2.99792458e8 / 3.0856775814913673e25)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    # f^-7/6 scaling
+    np.testing.assert_allclose(got[0] / got[1], 2.0 ** (7.0 / 6.0), rtol=1e-5)
+
+
+def test_amplitude_continuity_and_cutoff():
+    m1 = m2 = 30.0
+    f = jnp.asarray(np.linspace(10.0, 2000.0, 4000))
+    a = np.asarray(phenom_a_amplitude(f, m1, m2, 1.0))
+    pos = a[a > 0]
+    # piecewise-continuous: no jumps bigger than ~12% between adjacent bins
+    ratios = pos[1:] / pos[:-1]
+    assert np.all(ratios < 1.15) and np.all(ratios > 0.5)
+    # cuts off at high frequency for massive systems
+    assert a[-1] == 0.0
+
+
+def test_amplitude_scales_inverse_distance():
+    f = jnp.asarray([50.0])
+    a1 = float(phenom_a_amplitude(f, 20.0, 15.0, 1.0)[0])
+    a2 = float(phenom_a_amplitude(f, 20.0, 15.0, 2.0)[0])
+    np.testing.assert_allclose(a1 / a2, 2.0, rtol=1e-6)
+
+
+# ------------------------------------------------------------------ detector
+
+
+def test_antenna_pattern_bounds_and_average():
+    rng = np.random.default_rng(2)
+    n = 20000
+    ra = rng.uniform(0, 2 * np.pi, n)
+    dec = np.arcsin(rng.uniform(-1, 1, n))
+    psi = rng.uniform(0, np.pi, n)
+    gmst = rng.uniform(0, 2 * np.pi, n)
+    for det in DETECTORS.values():
+        fp, fc = antenna_pattern(det, ra, dec, psi, gmst)
+        fp, fc = np.asarray(fp), np.asarray(fc)
+        assert np.max(np.abs(fp)) <= 1.0 + 1e-5
+        assert np.max(np.abs(fc)) <= 1.0 + 1e-5
+        # isotropic mean-square response of an L-shaped IFO is 1/5
+        np.testing.assert_allclose(np.mean(fp**2), 0.2, atol=0.01)
+        np.testing.assert_allclose(np.mean(fc**2), 0.2, atol=0.01)
+
+
+def test_antenna_pattern_psi_rotation():
+    """Rotating psi by pi/2 flips the sign of both F+ and Fx."""
+    det = DETECTORS["H1"]
+    fp0, fc0 = antenna_pattern(det, 1.0, 0.3, 0.2, 4.0)
+    fp1, fc1 = antenna_pattern(det, 1.0, 0.3, 0.2 + np.pi / 2, 4.0)
+    np.testing.assert_allclose(float(fp1), -float(fp0), atol=1e-6)
+    np.testing.assert_allclose(float(fc1), -float(fc0), atol=1e-6)
+
+
+# ----------------------------------------------------------------------- psd
+
+
+def test_aligo_psd_shape():
+    f = jnp.asarray([9.0, 20.0, 100.0, 215.0, 1000.0])
+    s = np.asarray(aligo_design_psd(f))
+    assert s[0] == np.inf  # below f_low
+    assert np.all(np.isfinite(s[1:]))
+    # scaled units: S_n(100 Hz) ~ 2e-47 physical -> ~0.2 in units of 1e-46
+    assert 0.01 < s[2] < 10.0
+    # bucket near ~100-300 Hz: minimum not at the ends
+    fs = np.geomspace(10.5, 2000, 200)
+    vals = np.asarray(aligo_design_psd(jnp.asarray(fs)))
+    fmin_idx = np.argmin(vals)
+    assert 50 < fs[fmin_idx] < 500
+
+
+# ----------------------------------------------------------------------- snr
+
+
+def _snr_oracle_numpy(m1d, m2d, dl, iota, ra, dec, psi, gmst, det="H1", n_f=1 << 14):
+    """Dense-grid numpy SNR oracle using the same physics, independent code."""
+    from bumpcosmology_tpu.mock.psd import PSDS
+
+    f = np.linspace(10.0, 2048.0, n_f)
+    a = np.asarray(phenom_a_amplitude(jnp.asarray(f), m1d, m2d, dl))
+    fp, fc = antenna_pattern(DETECTORS[det], ra, dec, psi, gmst)
+    ci = math.cos(iota)
+    proj = float(fp) ** 2 * (0.5 * (1 + ci**2)) ** 2 + float(fc) ** 2 * ci**2
+    s = np.asarray(PSDS[det](jnp.asarray(f)), dtype=np.float64) * 1e-46
+    integrand = np.where(np.isfinite(s), a.astype(np.float64) ** 2 / s, 0.0)
+    return math.sqrt(4.0 * proj * np.trapezoid(integrand, f))
+
+
+def test_network_snr_matches_dense_oracle():
+    f_grid = frequency_grid()
+    m1d, m2d, dl = 35.0, 28.0, 0.8
+    iota, ra, dec, psi, gmst = 0.5, 1.2, -0.4, 0.7, 3.0
+    out = network_snr(
+        *(jnp.asarray([x]) for x in (m1d, m2d, dl, iota, ra, dec, psi, gmst)), f_grid
+    )
+    for det in ("H1", "L1", "V1"):
+        want = _snr_oracle_numpy(m1d, m2d, dl, iota, ra, dec, psi, gmst, det)
+        got = float(out[det][0])
+        # log-grid trapezoid at n=512 vs dense linear grid
+        np.testing.assert_allclose(got, want, rtol=2e-2)
+    np.testing.assert_allclose(
+        float(out["net"][0]),
+        math.sqrt(sum(float(out[d][0]) ** 2 for d in ("H1", "L1", "V1"))),
+        rtol=1e-6,
+    )
+
+
+def test_network_snr_batched_matches_single():
+    rng = np.random.default_rng(3)
+    n = 300
+    m1 = rng.uniform(10, 60, n)
+    q = rng.uniform(0.4, 1.0, n)
+    z = rng.uniform(0.05, 1.0, n)
+    dl = planck18_dl_np(z)
+    args = (
+        m1 * (1 + z),
+        m1 * q * (1 + z),
+        dl,
+        np.arccos(rng.uniform(-1, 1, n)),
+        rng.uniform(0, 2 * np.pi, n),
+        np.arcsin(rng.uniform(-1, 1, n)),
+        rng.uniform(0, np.pi, n),
+        rng.uniform(0, 2 * np.pi, n),
+    )
+    batched = network_snr_batched(*args, chunk=128)
+    f_grid = frequency_grid()
+    direct = network_snr(*(jnp.asarray(a, jnp.float32) for a in args), f_grid)
+    np.testing.assert_allclose(batched["net"], np.asarray(direct["net"]), rtol=2e-3, atol=1e-3)
+    # sane astrophysical range: a 35+28 Msun at z~0.1 is loud, z~1 is quiet
+    assert batched["net"].max() > 10.0
+
+
+# ------------------------------------------------------------------ campaign
+
+
+def test_campaign_end_to_end_small():
+    inj = draw_injection_campaign(ndraw=20_000, seed=42, snr_chunk=4096)
+    assert len(inj) == 20_000
+    assert set(["m1", "q", "z", "pdraw_mqz", "SNR"]).issubset(inj.columns)
+    assert (inj["SNR"] >= 0).all()
+    ndet = int((inj["SNR"] > 10).sum())
+    assert ndet > 10, f"campaign detected only {ndet} of 20k injections"
+
+    stats = campaign_summary(inj)
+    assert stats["n_detected"] == ndet
+    assert 0 < stats["predicted_detections_per_year"] < 10_000
+    assert stats["neff_default_pop"] > 5
+
+    obs = add_observation_noise(inj, seed=7)
+    assert (obs["SNR_OBS"] > 10).all()
+    assert {"log_mc_obs", "sigma_q", "log_dl_obs"}.issubset(obs.columns)
+
+    cat = draw_one_year_catalog(len(inj), obs, nsamp=32, seed=11)
+    if len(cat):
+        counts = cat.groupby("evt").size()
+        assert (counts == 32).all()
+        assert (cat["m1"] > 0).all() and (cat["z"] > 0).all()
+        assert ((cat["q"] >= 0) & (cat["q"] <= 1)).all()
+
+
+def test_mock_pe_samples_source_frame_prior():
+    rng = np.random.default_rng(5)
+    m1, q, z, wt = draw_mock_pe_samples(
+        math.log(30.0), 0.05, 0.8, 0.05, math.log(1.5), 0.1,
+        size=5000, output_source_frame=True, rng=rng,
+    )
+    assert np.all((q >= 0) & (q <= 1))
+    assert np.all(z > 0)
+    assert np.all(np.isfinite(wt)) and np.all(wt > 0)
+    # m1_det = m1_src (1+z) should scatter around exp(log_mc_obs)/(q-factor)
+    mc_det = m1 * (1 + z) * q**0.6 / (1 + q) ** 0.2
+    np.testing.assert_allclose(np.median(mc_det), 30.0, rtol=0.05)
