@@ -9,3 +9,9 @@ from bumpcosmology_tpu.data.weights import (
     planck18_dvc_dz_np,
     planck18_efunc_np,
 )
+from bumpcosmology_tpu.data.gwtc import (
+    extract_posterior_samples,
+    extract_selection_samples,
+    RejectedEventError,
+)
+from bumpcosmology_tpu.data.resample import resample_injections, importance_neff

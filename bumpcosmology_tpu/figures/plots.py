@@ -1,0 +1,232 @@
+"""The eight paper figures (L5).
+
+One function per reference figure script (``src/scripts/dNdm_fitted.py``,
+``cosmo_params_corner.py``, ``h_zoomin.py``, ``omh2_zoomin.py``,
+``shape_corner.py``, ``m1-vs-m2.py``, ``dNdm_PISN_effects.py``,
+``mock_observation_corner.py``), reading this framework's HDF5 traces/tables
+instead of arviz NetCDF / pandas-pytables stores.
+
+Each function takes explicit input/output paths and returns the output path;
+the CLI in ``figures.__main__`` maps names to functions.
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pandas as pd
+import scipy.stats as ss
+import seaborn as sns
+
+from bumpcosmology_tpu.models.population import COORDS
+from bumpcosmology_tpu.utils.io import read_table
+from bumpcosmology_tpu.utils.trace import load_trace
+
+__all__ = [
+    "FIGURES",
+    "dndm_fitted",
+    "cosmo_params_corner",
+    "h_zoomin",
+    "omh2_zoomin",
+    "shape_corner",
+    "m1_vs_m2",
+    "dndm_pisn_effects",
+    "mock_observation_corner",
+]
+
+
+def _finish(out):
+    out = Path(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    plt.tight_layout()
+    plt.savefig(out)
+    plt.close("all")
+    return out
+
+
+def _corner(df: pd.DataFrame):
+    pg = sns.PairGrid(df, diag_sharey=False)
+    pg.map_diag(sns.kdeplot)
+    pg.map_lower(sns.kdeplot)
+    pg.map_upper(sns.scatterplot, s=4, alpha=0.4)
+    return pg
+
+
+def dndm_fitted(trace_path, out="figures/dNdm_fitted.pdf"):
+    """Posterior-predictive band of m·dN/dm at (q=1, z=0) (``dNdm_fitted.py``)."""
+    sns.set_palette("colorblind")
+    tr = load_trace(trace_path)
+    dn = tr.posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
+    x = COORDS["m_grid"]
+    med = np.median(dn, axis=0)
+    q16, q84 = np.quantile(dn, [0.16, 0.84], axis=0)
+    q025, q975 = np.quantile(dn, [0.025, 0.975], axis=0)
+
+    plt.figure()
+    (line,) = plt.plot(x[1:], med[1:])
+    plt.fill_between(x[1:], q84[1:], q16[1:], color=line.get_color(), alpha=0.25)
+    plt.fill_between(x[1:], q975[1:], q025[1:], color=line.get_color(), alpha=0.25)
+    plt.xlabel(r"$m_1 / M_\odot$")
+    plt.ylabel(
+        r"$\left. m_1 \mathrm{d}N/\mathrm{d}m_1 \mathrm{d}q \mathrm{d}V \mathrm{d}t"
+        r" \right|_{q=1,z=0} / \mathrm{Gpc}^{-3}\,\mathrm{yr}^{-1}$"
+    )
+    plt.xscale("log")
+    plt.yscale("log")
+    return _finish(out)
+
+
+def cosmo_params_corner(trace_path, out="figures/cosmo_params_corner.pdf"):
+    """(h, Om, w, mpisn, mbhmax, sigma) corner from the joint fit."""
+    tr = load_trace(trace_path)
+    labels = {
+        "h": r"$h$",
+        "Om": r"$\Omega_M$",
+        "w": r"$w$",
+        "mpisn": r"$m_\mathrm{PISN}$",
+        "mbhmax": r"$m_\mathrm{BH,max}$",
+        "sigma": r"$\sigma$",
+    }
+    df = pd.DataFrame({lab: tr.posterior[k].reshape(-1) for k, lab in labels.items()})
+    _corner(df)
+    return _finish(out)
+
+
+def h_zoomin(trace_path, out="figures/h_zoomin.pdf"):
+    """Posterior vs truncated-normal prior for h (``h_zoomin.py``)."""
+    sns.set_palette("colorblind")
+    tr = load_trace(trace_path)
+    plt.figure()
+    sns.kdeplot(tr.posterior["h"].reshape(-1), label="Posterior")
+    x = np.linspace(0.35, 1.4, 1024)
+    d = ss.norm(loc=0.7, scale=0.2)
+    plt.plot(x, d.pdf(x) / (d.cdf(1.4) - d.cdf(0.35)), color="k", label="Prior")
+    plt.xlim(0.35, 1.4)
+    plt.xlabel(r"$h$")
+    plt.legend()
+    return _finish(out)
+
+
+def omh2_zoomin(trace_path, out="figures/omh2_zoomin.pdf", seed=194658662):
+    """Posterior vs prior for ω_M = Ω_M h² (``omh2_zoomin.py``)."""
+    sns.set_palette("colorblind")
+    rng = np.random.default_rng(seed)
+    tr = load_trace(trace_path)
+    omh2_post = (tr.posterior["Om"] * tr.posterior["h"] ** 2).reshape(-1)
+
+    # prior draws by rejection, as the reference does (``omh2_zoomin.py:18-29``)
+    h = rng.normal(0.7, 0.2, size=40000)
+    om = rng.normal(0.3, 0.15, size=40000)
+    ok = (h >= 0.35) & (h <= 1.4) & (om >= 0) & (om <= 1)
+    omh2_prior = (om[ok] * h[ok] ** 2)[:4000]
+
+    plt.figure()
+    sns.kdeplot(omh2_post, label="Posterior")
+    sns.kdeplot(omh2_prior, label="Prior", color="k")
+    plt.xlim(0, 0.5)
+    plt.xlabel(r"$\omega_M \equiv \Omega_M h^2$")
+    plt.legend()
+    return _finish(out)
+
+
+def shape_corner(trace_path, out="figures/shape_corner.pdf"):
+    """(mpisn, mbhmax, sigma) corner from the population fit."""
+    tr = load_trace(trace_path)
+    labels = {"mpisn": r"$m_\mathrm{PISN}$", "mbhmax": r"$m_\mathrm{BH,max}$", "sigma": r"$\sigma$"}
+    df = pd.DataFrame({lab: tr.posterior[k].reshape(-1) for k, lab in labels.items()})
+    _corner(df)
+    return _finish(out)
+
+
+def m1_vs_m2(pe_samples_path, out="figures/m1-vs-m2.pdf"):
+    """Per-event m1-m2 KDE contours of the PE catalog (``m1-vs-m2.py``)."""
+    samples = read_table(pe_samples_path)
+    events = samples.groupby("evt")
+    plt.figure()
+    with sns.color_palette("husl", n_colors=max(events.ngroups, 1)):
+        for evt, s in events:
+            sns.kdeplot(x=s["m1"], y=s["m1"] * s["q"], levels=[0.1, 0.5], alpha=0.25)
+    plt.xlabel(r"$m_1 / M_\odot$")
+    plt.ylabel(r"$m_2 / M_\odot$")
+    plt.xscale("log")
+    plt.yscale("log")
+    plt.xlim(5)
+    plt.ylim(5)
+    return _finish(out)
+
+
+def dndm_pisn_effects(out="figures/dNdm_PISN_effects.pdf"):
+    """Sensitivity of the PISN bump shape to its parameters (``dNdm_PISN_effects.py``)."""
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.models.mass import pisn_bump_log_dndm_grid
+    from bumpcosmology_tpu.models.parameters import DEFAULT_MASS
+    from bumpcosmology_tpu.ops.interp import interp_unit_spaced
+
+    p = DEFAULT_MASS
+    m = np.linspace(5.0, 45.0, 1024)
+
+    def bump_pdf(**kw):
+        params = p._replace(**kw)
+        lo, dm, log_dn = pisn_bump_log_dndm_grid(params)
+        vals = np.exp(np.asarray(interp_unit_spaced(jnp.asarray(m), lo, dm, log_dn)))
+        return vals / np.trapezoid(vals, m)
+
+    plt.figure()
+    with sns.color_palette("husl", n_colors=5):
+        plt.plot(m, bump_pdf(), label="Default")
+        plt.plot(m, bump_pdf(mpisn=p.mpisn * 1.1, mbhmax=p.mbhmax * 1.1), label="Mass + 10%")
+        plt.plot(m, bump_pdf(sigma=p.sigma - 1), label=r"$\sigma - 1$")
+        plt.plot(m, bump_pdf(mpisn=p.mpisn * 1.1), label=r"$m_\mathrm{PISN} + 10\%$")
+        plt.plot(m, bump_pdf(mbhmax=p.mbhmax * 1.1), label=r"$m_\mathrm{BH,max} + 10\%$")
+    plt.legend()
+    plt.xlabel(r"$m / M_\odot$")
+    plt.ylabel(r"$p(m)$")
+    return _finish(out)
+
+
+def mock_observation_corner(
+    observations_path, out="figures/mock_observation_corner.pdf", seed=278954249
+):
+    """Mock PE corner for one random event with truth lines
+    (``mock_observation_corner.py``)."""
+    from bumpcosmology_tpu.data.weights import planck18_dl_np
+    from bumpcosmology_tpu.mock.catalog import draw_mock_pe_samples
+
+    sns.set_palette("colorblind")
+    rng = np.random.default_rng(seed)
+    obs = read_table(observations_path, key="observations")
+    obs["m1_det"] = obs["m1"] * (1 + obs["z"])
+    obs["dl_true"] = planck18_dl_np(obs["z"].to_numpy())
+
+    row = obs.iloc[int(rng.integers(len(obs)))]
+    m1d, q, dl, _ = draw_mock_pe_samples(
+        row["log_mc_obs"], row["sigma_log_mc"], row["q_obs"], row["sigma_q"],
+        row["log_dl_obs"], row["sigma_log_dl"], size=1000, rng=rng,
+    )
+    pg = _corner(
+        pd.DataFrame({r"$m_{1,\mathrm{det}}$": m1d, r"$q$": q, r"$d_L/\mathrm{Gpc}$": dl})
+    )
+    truths = [row["m1_det"], row["q"], row["dl_true"]]
+    for j in range(3):
+        for i in range(3):
+            pg.axes[i, j].axvline(truths[j], color="k")
+            if i != j:
+                pg.axes[i, j].axhline(truths[i], color="k")
+    return _finish(out)
+
+
+FIGURES = {
+    "dNdm_fitted": (dndm_fitted, "trace.h5"),
+    "cosmo_params_corner": (cosmo_params_corner, "trace_cosmo.h5"),
+    "h_zoomin": (h_zoomin, "trace_cosmo.h5"),
+    "omh2_zoomin": (omh2_zoomin, "trace_cosmo.h5"),
+    "shape_corner": (shape_corner, "trace.h5"),
+    "m1-vs-m2": (m1_vs_m2, "pe-samples.h5"),
+    "dNdm_PISN_effects": (dndm_pisn_effects, None),
+    "mock_observation_corner": (mock_observation_corner, "mock_observations.h5"),
+}

@@ -1,0 +1,107 @@
+"""Typed configuration system (L6).
+
+The reference keeps run constants at module tops (``run_fit.py:11-14``,
+``draw_pe_samples.py:11``, ``mock_injections.py:28-29,137``, …); here they are
+dataclasses with JSON-file loading and ``key=value`` CLI overrides — the
+"real typed config system" SURVEY.md §5 calls for.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+__all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "PipelineConfig"]
+
+
+@dataclass
+class PathsConfig:
+    """Artifact locations (cf. reference ``paths.py``)."""
+
+    data_dir: str = "data"
+    pe_raw_dir: str = "data/pe-samples-raw"
+    injection_file: str = "data/endo3_bbhpop-LIGO-T2100113-v12.hdf5"
+
+    def path(self, name: str) -> Path:
+        return Path(self.data_dir) / name
+
+
+@dataclass
+class IngestConfig:
+    """PE/selection extraction (``draw_pe_samples.py:11-14``,
+    ``draw_selection_samples.py:8-11``)."""
+
+    nsamp_pe: int = 128
+    nsamp_sel: int = 1024
+    pe_seed: int = 232970088
+    sel_seed: int = 727228188
+    far_threshold: float = 1.0
+
+
+@dataclass
+class FitConfig:
+    """NUTS configuration (``run_fit.py:11-14``, ``run_cosmo_fit.py:17-19``)."""
+
+    num_warmup: int = 1000
+    num_samples: int = 1000
+    num_chains: int = 4
+    seed: int = 3281922803
+    cosmo_seed: int = 1652819403
+    max_depth: int = 10
+    target_accept: float = 0.8
+    n_grid: int = 256
+    n_z: int = 1024
+    n_chain_shards: int = 1  # mesh rows for the chains axis
+
+
+@dataclass
+class MockConfig:
+    """Mock-universe campaign (``mock_injections.py:28-29,137-140``,
+    ``mock_observations.py:12,30``, ``mock_one_year_samples.py:11``)."""
+
+    ndraw: int = 10_000_000
+    injection_seed: int = 333165393
+    observation_seed: int = 181286134
+    catalog_seed: int = 177043409
+    nsamp: int = 128
+    z_horizon: float = 3.5
+    chirp_dist_min: float = 1.5
+    detection_snr: float = 10.0
+    snr_chunk: int = 65536
+
+
+@dataclass
+class PipelineConfig:
+    paths: PathsConfig = field(default_factory=PathsConfig)
+    ingest: IngestConfig = field(default_factory=IngestConfig)
+    fit: FitConfig = field(default_factory=FitConfig)
+    mock: MockConfig = field(default_factory=MockConfig)
+
+    @classmethod
+    def load(cls, json_path: Optional[str] = None, overrides: Optional[list] = None):
+        """Build from defaults, then a JSON file, then ``section.key=value``
+        CLI overrides (e.g. ``fit.num_chains=16 mock.ndraw=100000``)."""
+        cfg = cls()
+        if json_path:
+            with open(json_path) as f:
+                data = json.load(f)
+            for section, vals in data.items():
+                sub = getattr(cfg, section)
+                for k, v in vals.items():
+                    if not hasattr(sub, k):
+                        raise KeyError(f"unknown config key {section}.{k}")
+                    setattr(sub, k, v)
+        for ov in overrides or []:
+            key, _, val = ov.partition("=")
+            section, _, name = key.partition(".")
+            sub = getattr(cfg, section)
+            if not hasattr(sub, name):
+                raise KeyError(f"unknown config key {key}")
+            current = getattr(sub, name)
+            setattr(sub, name, type(current)(json.loads(val)) if not isinstance(current, str) else val)
+        return cfg
+
+    def to_dict(self):
+        return dataclasses.asdict(self)

@@ -1,0 +1,274 @@
+"""Pipeline stage implementations (L4): the seven reference rules.
+
+Mirrors ``Snakefile:1-125``:
+  draw_pe_samples, draw_selection_samples, sample (pop fit), sample_cosmo
+  (joint fit), mock_injections, mock_observations, mock_year_samples.
+
+Artifacts are h5py column tables (:mod:`bumpcosmology_tpu.utils.io`) and HDF5
+traces (:mod:`bumpcosmology_tpu.utils.trace`).
+"""
+from __future__ import annotations
+
+import re
+from glob import glob
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from bumpcosmology_tpu.pipeline.config import PipelineConfig
+from bumpcosmology_tpu.pipeline.dag import Pipeline, Stage
+from bumpcosmology_tpu.utils.io import read_table, write_table
+
+__all__ = ["build_pipeline", "group_events", "run_pop_fit", "run_pop_cosmo_fit"]
+
+
+def group_events(df: pd.DataFrame, cols=("m1", "q", "z", "wt")):
+    """Stack per-event sample tables to (nobs, nsamp) arrays
+    (cf. ``run_fit.py:22-33``).  Requires equal samples per event."""
+    out = []
+    events = sorted(df["evt"].unique())
+    for c in cols:
+        out.append(np.stack([df[df.evt == e][c].to_numpy() for e in events]))
+    return events, out
+
+
+# ------------------------------------------------------------------ ingestion
+
+
+def _stage_draw_pe_samples(cfg: PipelineConfig):
+    from bumpcosmology_tpu.data import RejectedEventError, default_pop_wt, extract_posterior_samples
+
+    rng = np.random.default_rng(cfg.ingest.pe_seed)
+    frames = []
+    files = sorted(glob(str(Path(cfg.paths.pe_raw_dir) / "*.h5")))
+    if not files:
+        raise FileNotFoundError(
+            f"no GWTC posterior files in {cfg.paths.pe_raw_dir} "
+            "(download the GWTC-2.1/GWTC-3 releases there)"
+        )
+    for f in files:
+        m = re.match(r"^.*(GW[0-9_]+[0-9]+).*\.h5$", f)
+        name = m[1] if m else Path(f).stem
+        try:
+            m1, q, z, wt = extract_posterior_samples(
+                f, cfg.ingest.nsamp_pe, desired_pop_wt=default_pop_wt, rng=rng
+            )
+        except (RejectedEventError, ValueError) as err:
+            print(f"[draw_pe_samples] skipping {name}: {err}")
+            continue
+        frames.append(pd.DataFrame({"m1": m1, "q": q, "z": z, "wt": wt, "evt": name}))
+    df = pd.concat(frames, ignore_index=True)
+    write_table(cfg.paths.path("pe-samples.h5"), df)
+
+
+def _stage_draw_selection_samples(cfg: PipelineConfig):
+    from bumpcosmology_tpu.data import default_pop_wt, extract_selection_samples
+
+    rng = np.random.default_rng(cfg.ingest.sel_seed)
+    m1, q, z, pdraw, ndraw = extract_selection_samples(
+        cfg.paths.injection_file,
+        cfg.ingest.nsamp_sel,
+        desired_pop_wt=default_pop_wt,
+        far_threshold=cfg.ingest.far_threshold,
+        rng=rng,
+    )
+    df = pd.DataFrame({"m1": m1, "q": q, "z": z, "pdraw": pdraw, "ndraw": ndraw})
+    write_table(cfg.paths.path("selection-samples.h5"), df)
+
+
+# ----------------------------------------------------------------------- fits
+
+
+def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=None):
+    """Population-only NUTS fit (``run_fit.py``) → trace HDF5."""
+    import jax
+
+    from bumpcosmology_tpu.inference.likelihoods import (
+        make_pop_data,
+        pop_deterministics,
+        pop_model_spec,
+    )
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+    from bumpcosmology_tpu.inference.sampler import fit
+    from bumpcosmology_tpu.models.population import COORDS
+    from bumpcosmology_tpu.utils.trace import Trace, save_trace
+
+    pe = pe_table if pe_table is not None else read_table(cfg.paths.path("pe-samples.h5"))
+    sel = sel_table if sel_table is not None else read_table(cfg.paths.path("selection-samples.h5"))
+
+    _, (m1s, qs, zs, wts) = group_events(pe)
+    data = make_pop_data(
+        m1s, qs, zs, wts,
+        sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(), sel["pdraw"].to_numpy(),
+        ndraw=float(sel["ndraw"].iloc[0]),
+    )
+    spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
+    nuts_cfg = NutsConfig(max_depth=cfg.fit.max_depth, target_accept=cfg.fit.target_accept)
+    res = fit(
+        spec,
+        jax.random.PRNGKey(cfg.fit.seed),
+        num_warmup=cfg.fit.num_warmup,
+        num_samples=cfg.fit.num_samples,
+        num_chains=cfg.fit.num_chains,
+        cfg=nuts_cfg,
+        deterministics_fn=lambda s: pop_deterministics(s, data, n_grid=cfg.fit.n_grid),
+    )
+    trace = Trace(res.posterior, res.sample_stats, coords=COORDS, attrs={"model": "pop"})
+    save_trace(trace_out or cfg.paths.path("trace.h5"), trace)
+    return res
+
+
+def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=None):
+    """Joint population+cosmology NUTS fit (``run_cosmo_fit.py``) → trace HDF5.
+
+    Converts source-frame artifacts to detector frame on the host:
+    m1_det = m1 (1+z), dL = Planck18 dL(z), pdraw_cosmo = wt · Jacobian
+    (``run_cosmo_fit.py:22-30``).
+    """
+    import jax
+
+    from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
+    from bumpcosmology_tpu.inference.likelihoods import (
+        make_pop_cosmo_data,
+        pop_cosmo_deterministics,
+        pop_cosmo_model_spec,
+    )
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+    from bumpcosmology_tpu.inference.sampler import fit
+    from bumpcosmology_tpu.models.population import COORDS
+    from bumpcosmology_tpu.utils.trace import Trace, save_trace
+
+    pe = pe_table if pe_table is not None else read_table(cfg.paths.path("pe-samples.h5"))
+    sel = sel_table if sel_table is not None else read_table(cfg.paths.path("selection-samples.h5"))
+
+    for df, wt_col in ((pe, "wt"), (sel, "pdraw")):
+        df["m1d"] = df["m1"] * (1.0 + df["z"])
+        df["dl"] = planck18_dl_np(df["z"].to_numpy())
+        df["pdraw_cosmo"] = df[wt_col] * dm1sqz_dm1ddqdl(
+            df["m1"].to_numpy(), df["q"].to_numpy(), df["z"].to_numpy()
+        )
+
+    _, (m1d, qs, dls, pdraws) = group_events(pe, cols=("m1d", "q", "dl", "pdraw_cosmo"))
+    data = make_pop_cosmo_data(
+        m1d, qs, dls, pdraws,
+        sel["m1d"].to_numpy(), sel["q"].to_numpy(), sel["dl"].to_numpy(),
+        sel["pdraw_cosmo"].to_numpy(),
+        ndraw=float(sel["ndraw"].iloc[0]),
+    )
+    spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+    nuts_cfg = NutsConfig(max_depth=cfg.fit.max_depth, target_accept=cfg.fit.target_accept)
+    res = fit(
+        spec,
+        jax.random.PRNGKey(cfg.fit.cosmo_seed),
+        num_warmup=cfg.fit.num_warmup,
+        num_samples=cfg.fit.num_samples,
+        num_chains=cfg.fit.num_chains,
+        cfg=nuts_cfg,
+        deterministics_fn=lambda s: pop_cosmo_deterministics(
+            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
+        ),
+    )
+    trace = Trace(res.posterior, res.sample_stats, coords=COORDS, attrs={"model": "pop_cosmo"})
+    save_trace(trace_out or cfg.paths.path("trace_cosmo.h5"), trace)
+    return res
+
+
+# ----------------------------------------------------------------------- mock
+
+
+def _stage_mock_injections(cfg: PipelineConfig):
+    from bumpcosmology_tpu.mock import campaign_summary, draw_injection_campaign
+
+    inj = draw_injection_campaign(
+        ndraw=cfg.mock.ndraw,
+        seed=cfg.mock.injection_seed,
+        z_horizon=cfg.mock.z_horizon,
+        chirp_dist_min=cfg.mock.chirp_dist_min,
+        snr_chunk=cfg.mock.snr_chunk,
+    )
+    write_table(cfg.paths.path("mock_injections.h5"), inj, key="true_parameters")
+    stats = campaign_summary(inj, threshold=cfg.mock.detection_snr)
+    print(
+        "[mock_injections] {n_detected} detected (SNR>{thr}); "
+        "{predicted_detections_per_year:.0f} det/yr predicted; "
+        "Neff(default pop) = {neff_default_pop:.1f}; "
+        "expected pop-model draws = {expected_pop_draws:.1f}".format(
+            thr=cfg.mock.detection_snr, **stats
+        )
+    )
+
+
+def _stage_mock_observations(cfg: PipelineConfig):
+    from bumpcosmology_tpu.mock import add_observation_noise
+
+    inj = read_table(cfg.paths.path("mock_injections.h5"), key="true_parameters")
+    obs = add_observation_noise(
+        inj, seed=cfg.mock.observation_seed, threshold=cfg.mock.detection_snr
+    )
+    write_table(cfg.paths.path("mock_observations.h5"), obs, key="observations")
+
+
+def _stage_mock_year_samples(cfg: PipelineConfig):
+    from bumpcosmology_tpu.mock import draw_one_year_catalog
+
+    inj = read_table(cfg.paths.path("mock_injections.h5"), key="true_parameters")
+    obs = read_table(cfg.paths.path("mock_observations.h5"), key="observations")
+    cat = draw_one_year_catalog(len(inj), obs, nsamp=cfg.mock.nsamp, seed=cfg.mock.catalog_seed)
+    write_table(cfg.paths.path("mock_year_samples.h5"), cat)
+
+
+# ------------------------------------------------------------------- assembly
+
+
+def build_pipeline(cfg: PipelineConfig) -> Pipeline:
+    p = cfg.paths.path
+    return Pipeline(
+        [
+            Stage(
+                "draw_pe_samples",
+                lambda: _stage_draw_pe_samples(cfg),
+                inputs=[],
+                outputs=[p("pe-samples.h5")],
+            ),
+            Stage(
+                "draw_selection_samples",
+                lambda: _stage_draw_selection_samples(cfg),
+                inputs=[Path(cfg.paths.injection_file)],
+                outputs=[p("selection-samples.h5")],
+            ),
+            Stage(
+                "sample",
+                lambda: run_pop_fit(cfg),
+                inputs=[p("pe-samples.h5"), p("selection-samples.h5")],
+                outputs=[p("trace.h5")],
+                after=["draw_pe_samples", "draw_selection_samples"],
+            ),
+            Stage(
+                "sample_cosmo",
+                lambda: run_pop_cosmo_fit(cfg),
+                inputs=[p("pe-samples.h5"), p("selection-samples.h5")],
+                outputs=[p("trace_cosmo.h5")],
+                after=["draw_pe_samples", "draw_selection_samples"],
+            ),
+            Stage(
+                "mock_injections",
+                lambda: _stage_mock_injections(cfg),
+                outputs=[p("mock_injections.h5")],
+            ),
+            Stage(
+                "mock_observations",
+                lambda: _stage_mock_observations(cfg),
+                inputs=[p("mock_injections.h5")],
+                outputs=[p("mock_observations.h5")],
+                after=["mock_injections"],
+            ),
+            Stage(
+                "mock_year_samples",
+                lambda: _stage_mock_year_samples(cfg),
+                inputs=[p("mock_injections.h5"), p("mock_observations.h5")],
+                outputs=[p("mock_year_samples.h5")],
+                after=["mock_observations"],
+            ),
+        ]
+    )
