@@ -27,6 +27,12 @@ def _bench_backend(platform: str, n_iters: int) -> float:
     devs = jax.devices(platform)
     dev = devs[0]
 
+    # the interp formulation must match the device the arrays live on,
+    # not the process-default backend
+    from bumpcosmology_tpu.ops.interp import set_default_method
+
+    set_default_method("matmul" if platform in ("tpu", "axon") else "gather")
+
     import jax.numpy as jnp
     from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec
     from bumpcosmology_tpu.inference.model import make_potential, prior_sample

@@ -11,27 +11,50 @@ operations are exposed as explicit primitives with
 - gradients flowing through *both* the query points and the table values
   (needed because the cosmology tables depend on sampled hyperparameters).
 
-Implementation: ``jnp.searchsorted`` + gather.  On TPU this vectorizes over
-arbitrary query batches; tables are small (256-4096 points) and live in VMEM
-after XLA fusion, so a bespoke Pallas kernel is only warranted for the fused
-bump-grid build (see :mod:`bumpcosmology_tpu.ops.pallas`).
+On TPU, dynamic gathers from *traced* tables lower to slow serial loops
+(measured ~56 ns/query on v5e — they dominate the whole likelihood).  The
+TPU-native formulation used here instead turns interpolation into MXU work:
+the bracketing interval is selected with a 0/1 (or hat-function) weight
+matrix contracted against the table — a (N, K) matmul with no gathers at
+all.  Both formulations are exposed; the default picks by backend
+(``matmul`` on TPU, ``gather`` elsewhere) and tests assert they agree.
 """
 from __future__ import annotations
 
+from typing import Optional
+
+import jax
 import jax.numpy as jnp
 
 __all__ = ["interp", "interp_unit_spaced", "inverse_interp"]
 
 
-def interp(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
-    """Linear interpolation of ``fp`` (defined at increasing points ``xp``) at ``x``.
+_METHOD_OVERRIDE: Optional[str] = None
 
-    Semantics match ``jnp.interp``: constant extrapolation outside the table.
-    ``xp``/``fp`` are 1-D; ``x`` is any shape.
+
+def set_default_method(method: Optional[str]) -> None:
+    """Force the interpolation formulation globally (None = by backend).
+
+    Needed when placing computation on a non-default backend (e.g. CPU
+    baselines in a TPU-default process): the per-call default keys off
+    ``jax.default_backend()``, which reflects the process default, not the
+    device an array lives on.
     """
-    x = jnp.asarray(x)
-    xp = jnp.asarray(xp)
-    fp = jnp.asarray(fp)
+    global _METHOD_OVERRIDE
+    assert method in (None, "gather", "matmul")
+    _METHOD_OVERRIDE = method
+
+
+def _default_method() -> str:
+    if _METHOD_OVERRIDE is not None:
+        return _METHOD_OVERRIDE
+    return "matmul" if jax.default_backend() == "tpu" else "gather"
+
+
+# ---------------------------------------------------------------- non-uniform
+
+
+def _interp_gather(x, xp, fp):
     n = xp.shape[0]
     # index of the right edge of the bracketing interval, clipped to [1, n-1]
     hi = jnp.clip(jnp.searchsorted(xp, x, side="right"), 1, n - 1)
@@ -47,16 +70,50 @@ def interp(x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:
     return f_lo + t * (f_hi - f_lo)
 
 
-def interp_unit_spaced(x: jnp.ndarray, x0, dx, fp: jnp.ndarray) -> jnp.ndarray:
-    """Linear interpolation on a *uniform* grid ``xp[i] = x0 + i*dx``.
+def _interp_matmul(x, xp, fp):
+    """Gather-free bracket selection: a 0/1 (N, K-1) segment-membership matrix
+    contracted against the stacked segment endpoints (one MXU matmul)."""
+    shape = x.shape
+    xq = jnp.clip(x.reshape(-1), xp[0], xp[-1])
+    ge = xq[:, None] >= xp[None, :-1]
+    lt = xq[:, None] < xp[None, 1:]
+    onehot = (ge & lt).astype(xq.dtype)
+    # x == xp[-1] falls in no half-open segment; assign it to the last one
+    onehot = onehot.at[:, -1].set(
+        jnp.where(xq >= xp[-1], 1.0, onehot[:, -1])
+    )
+    cols = jnp.stack([xp[:-1], xp[1:], fp[:-1], fp[1:]], axis=1)  # (K-1, 4)
+    vals = jnp.dot(onehot, cols, preferred_element_type=xq.dtype)
+    x_lo, x_hi, f_lo, f_hi = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+    denom = x_hi - x_lo
+    t = jnp.where(denom > 0, (xq - x_lo) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    t = jnp.clip(t, 0.0, 1.0)
+    return (f_lo + t * (f_hi - f_lo)).reshape(shape)
 
-    Avoids the ``searchsorted`` (log n gather chain) entirely — the bracketing
-    index is computed arithmetically.  This is the hot-path lookup for the
-    PISN-bump mass grid, which the model builds on a uniform grid precisely so
-    that per-sample lookups are O(1) arithmetic + 2 gathers.
+
+def interp(
+    x: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray, method: Optional[str] = None
+) -> jnp.ndarray:
+    """Linear interpolation of ``fp`` (defined at increasing points ``xp``) at ``x``.
+
+    Semantics match ``jnp.interp``: constant extrapolation outside the table.
+    ``xp``/``fp`` are 1-D; ``x`` is any shape.  ``method`` is ``"gather"``
+    (searchsorted + dynamic gathers) or ``"matmul"`` (MXU bracket selection);
+    default picks by backend.
     """
     x = jnp.asarray(x)
+    xp = jnp.asarray(xp)
     fp = jnp.asarray(fp)
+    method = method or _default_method()
+    if method == "matmul":
+        return _interp_matmul(x, xp, fp)
+    return _interp_gather(x, xp, fp)
+
+
+# -------------------------------------------------------------------- uniform
+
+
+def _interp_unit_gather(x, x0, dx, fp):
     n = fp.shape[0]
     pos = (x - x0) / dx
     lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, n - 2)
@@ -64,6 +121,38 @@ def interp_unit_spaced(x: jnp.ndarray, x0, dx, fp: jnp.ndarray) -> jnp.ndarray:
     f_lo = fp[lo]
     f_hi = fp[lo + 1]
     return f_lo + t * (f_hi - f_lo)
+
+
+def _interp_unit_matmul(x, x0, dx, fp):
+    """Hat-function weights W[n,k] = max(0, 1 - |pos_n - k|); out = W @ fp.
+
+    One (N, K) matmul; exact linear interpolation with endpoint clamping.
+    """
+    shape = x.shape
+    n = fp.shape[0]
+    pos = jnp.clip((x.reshape(-1) - x0) / dx, 0.0, n - 1.0)
+    k = jax.lax.broadcasted_iota(pos.dtype, (1, n), 1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - k))
+    out = jnp.dot(w, fp, preferred_element_type=pos.dtype)
+    return out.reshape(shape)
+
+
+def interp_unit_spaced(
+    x: jnp.ndarray, x0, dx, fp: jnp.ndarray, method: Optional[str] = None
+) -> jnp.ndarray:
+    """Linear interpolation on a *uniform* grid ``xp[i] = x0 + i*dx``.
+
+    The bracketing index is arithmetic (no ``searchsorted``); this is the
+    hot-path lookup for the PISN-bump mass grid and the log1p(z)-uniform
+    cosmology tables.  ``method``: ``"gather"`` (2 dynamic gathers/query) or
+    ``"matmul"`` (hat-weight MXU contraction, the TPU default).
+    """
+    x = jnp.asarray(x)
+    fp = jnp.asarray(fp)
+    method = method or _default_method()
+    if method == "matmul":
+        return _interp_unit_matmul(x, x0, dx, fp)
+    return _interp_unit_gather(x, x0, dx, fp)
 
 
 def inverse_interp(y: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:

@@ -145,3 +145,40 @@ def test_sharded_logsumexp_handles_neginf_shards(cpu_devices):
     fn = shard_map(local, mesh=mesh, in_specs=P("data"), out_specs=P())
     got = float(fn(jnp.asarray(a)))
     np.testing.assert_allclose(got, 1.5, rtol=1e-6)
+
+
+def test_interp_matmul_matches_gather():
+    rng = np.random.default_rng(10)
+    xp = np.sort(rng.uniform(-3, 3, size=100))
+    fp = np.sin(xp)
+    x = rng.uniform(-4, 4, size=(5, 33))
+    a = np.asarray(ops.interp(jnp.asarray(x), jnp.asarray(xp), jnp.asarray(fp), method="gather"))
+    b = np.asarray(ops.interp(jnp.asarray(x), jnp.asarray(xp), jnp.asarray(fp), method="matmul"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    # exact at the knots, including the last one (half-open-segment edge case)
+    at_knots = np.asarray(ops.interp(jnp.asarray(xp), jnp.asarray(xp), jnp.asarray(fp), method="matmul"))
+    np.testing.assert_allclose(at_knots, fp, rtol=1e-5, atol=1e-6)
+
+
+def test_interp_unit_spaced_matmul_matches_gather():
+    x0, dx, n = -1.0, 0.25, 40
+    fp = np.cos(x0 + dx * np.arange(n))
+    x = np.linspace(-2, 10, 301)
+    a = np.asarray(ops.interp_unit_spaced(jnp.asarray(x), x0, dx, jnp.asarray(fp), method="gather"))
+    b = np.asarray(ops.interp_unit_spaced(jnp.asarray(x), x0, dx, jnp.asarray(fp), method="matmul"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_interp_matmul_gradients_match_gather():
+    xp = jnp.linspace(0.0, 1.0, 16)
+    x = jnp.asarray([0.53, 0.01, 0.99])
+
+    def f(method):
+        def g(scale, xq):
+            return jnp.sum(ops.interp(xq, xp, scale * xp**2, method=method))
+        return g
+
+    for arg in (0, 1):
+        ga = jax.grad(f("gather"), argnums=arg)(2.0, x)
+        gb = jax.grad(f("matmul"), argnums=arg)(2.0, x)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-6)
