@@ -1,0 +1,207 @@
+"""Simulation-based calibration (SBC) harness.
+
+Validates the whole inference stack (priors → simulator → likelihood → NUTS)
+by the rank statistic of Talts et al. (2018): draw hyperparameters from the
+prior, simulate a catalog, fit, and record the rank of the true value among
+the (thinned) posterior draws; ranks must be uniform.  This is the
+"multi-chain calibration suite" of the scale-out configs (BASELINE.md) — the
+reference has no calibration machinery at all (SURVEY.md §4).
+
+Design notes for the mock-population simulator
+(:func:`make_mock_pop_simulator`):
+
+* The PE-sample banks are **θ-independent**: mock PE samples are drawn from
+  (measurement likelihood × fiducial population) with ``pdraw`` recorded, a
+  valid importance proposal for *any* hyperparameter draw — so they are
+  precomputed once per detected injection and reused across simulations.
+  Only the event *selection* (which injections make the catalog) depends on
+  the prior draw, making each simulation O(nobs) work.
+* Catalogs are conditioned on a fixed event count ``nobs`` (fixed shapes for
+  one XLA compilation across all simulations); the rate parameter is
+  therefore excluded from the rank check (``R_unit`` remains prior-uniform
+  by construction).
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+
+from bumpcosmology_tpu.inference.likelihoods import (
+    PopData,
+    make_pop_data,
+    pop_model_spec,
+    population_from_sites,
+)
+from bumpcosmology_tpu.inference.model import ModelSpec, constrain, prior_sample
+from bumpcosmology_tpu.inference.sampler import fit
+from bumpcosmology_tpu.models.population import build_population, log_dndmdqdv
+
+__all__ = ["run_sbc", "make_mock_pop_simulator", "sbc_uniformity_pvalues"]
+
+
+def run_sbc(
+    make_spec: Callable[[object], ModelSpec],
+    simulate: Callable[[np.random.Generator, Dict[str, np.ndarray]], object],
+    n_sims: int,
+    key,
+    num_warmup: int = 200,
+    num_samples: int = 256,
+    num_chains: int = 1,
+    thin: int = 4,
+    skip_sites: Sequence[str] = ("R_unit",),
+    seed: int = 0,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """SBC loop: returns per-site rank arrays of shape (n_sims,).
+
+    ``make_spec(data)`` must return a ModelSpec whose priors are the
+    generating distribution of the θ draws; ``simulate(rng, sites)`` returns
+    the data object for one prior draw.  Posterior draws are thinned by
+    ``thin`` before ranking (reduces autocorrelation bias in the ranks).
+    """
+    rng = np.random.default_rng(seed)
+    ranks: Dict[str, list] = {}
+    n_bins = None
+    for i in range(n_sims):
+        key, k_prior, k_fit = jax.random.split(key, 3)
+        # Draw θ from the prior using a throwaway spec (priors are static).
+        proto_spec = make_spec(None)
+        theta_true = prior_sample(proto_spec, k_prior)
+        sites_true = {k: np.asarray(v) for k, v in constrain(proto_spec, theta_true).items()}
+
+        data = simulate(rng, sites_true)
+        spec = make_spec(data)
+        res = fit(
+            spec,
+            k_fit,
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            num_chains=num_chains,
+            verbose=False,
+        )
+        for site, truth in sites_true.items():
+            if site in skip_sites:
+                continue
+            draws = res.posterior[site].reshape(-1)[::thin]
+            n_bins = len(draws)
+            ranks.setdefault(site, []).append(int(np.sum(draws < truth)))
+        if verbose:
+            print(f"[sbc] sim {i + 1}/{n_sims} done", flush=True)
+    out = {k: np.asarray(v) for k, v in ranks.items()}
+    out["__n_bins__"] = np.asarray(n_bins + 1 if n_bins else 0)
+    return out
+
+
+def sbc_uniformity_pvalues(ranks: Dict[str, np.ndarray]) -> Dict[str, float]:
+    """Per-site chi-square uniformity p-values over coarse rank bins."""
+    import scipy.stats as ss
+
+    n_bins_total = int(ranks["__n_bins__"])
+    out = {}
+    for site, r in ranks.items():
+        if site == "__n_bins__":
+            continue
+        n = len(r)
+        k = max(2, min(10, n // 5))  # coarse bins with >=5 expected each
+        edges = np.linspace(0, n_bins_total, k + 1)
+        counts, _ = np.histogram(r, bins=edges)
+        chi2 = np.sum((counts - n / k) ** 2 / (n / k))
+        out[site] = float(ss.chi2.sf(chi2, df=k - 1))
+    return out
+
+
+def make_mock_pop_simulator(
+    detected_obs,
+    n_total_injections: int,
+    nobs: int = 16,
+    nsamp: int = 64,
+    nsel: int = 512,
+    pe_bank_size: int = 2048,
+    seed: int = 0,
+):
+    """Build a fast per-θ catalog simulator from one mock injection campaign.
+
+    ``detected_obs``: DataFrame of detected injections with observation-noise
+    columns (output of :func:`bumpcosmology_tpu.mock.add_observation_noise`).
+    Precomputes a fiducial-population PE-sample bank per injection (see module
+    docstring), then each call draws ``nobs`` events ∝ pop_θ / pdraw and
+    importance-selects their PE samples.  The selection set is θ-independent.
+    """
+    from bumpcosmology_tpu.data.weights import default_pop_wt
+    from bumpcosmology_tpu.mock.catalog import draw_mock_pe_samples
+
+    rng0 = np.random.default_rng(seed)
+    obs = detected_obs.reset_index(drop=True)
+
+    # θ-independent selection set (uniform thinning: Ndraw scales with it)
+    nsel = min(nsel, len(obs))
+    sel_idx = rng0.choice(len(obs), size=nsel, replace=False)
+    sel = obs.iloc[sel_idx]
+    sel_arrays = (
+        sel["m1"].to_numpy(),
+        sel["q"].to_numpy(),
+        sel["z"].to_numpy(),
+        sel["pdraw_mqz"].to_numpy(),
+        float(n_total_injections) * (nsel / len(obs)),
+    )
+
+    # PE banks: samples from (measurement likelihood x fiducial pop), with
+    # pdraw = fiducial pop weight — a valid proposal for any θ.
+    banks = []
+    for _, row in obs.iterrows():
+        m, q, z, w = draw_mock_pe_samples(
+            row["log_mc_obs"], row["sigma_log_mc"],
+            row["q_obs"], row["sigma_q"],
+            row["log_dl_obs"], row["sigma_log_dl"],
+            size=pe_bank_size, output_source_frame=True, rng=rng0,
+        )
+        pw = default_pop_wt(m, q, z)
+        rw = pw / w
+        total = np.sum(rw)
+        if total <= 0:
+            banks.append(None)
+            continue
+        pick = rng0.choice(pe_bank_size, size=nsamp, p=rw / total)
+        banks.append((m[pick], q[pick], z[pick], pw[pick]))
+
+    valid = np.array([b is not None for b in banks])
+    inj_m1 = obs["m1"].to_numpy()
+    inj_q = obs["q"].to_numpy()
+    inj_z = obs["z"].to_numpy()
+    inj_pdraw = obs["pdraw_mqz"].to_numpy()
+
+    def simulate(rng: np.random.Generator, sites) -> PopData:
+        pop = build_population(population_from_sites(sites))
+        log_dn = np.asarray(log_dndmdqdv(pop, inj_m1, inj_q, inj_z), dtype=np.float64)
+        wt = np.where(valid, np.exp(log_dn) / inj_pdraw, 0.0)
+        # comoving-volume measure is common to all θ up to the z-shape already
+        # in log_dn; detection probability is encoded by membership in obs.
+        from bumpcosmology_tpu.data.weights import planck18_dvc_dz_np
+
+        wt = wt * planck18_dvc_dz_np(inj_z) / (1.0 + inj_z)
+        total = wt.sum()
+        if not np.isfinite(total) or total <= 0:
+            wt = valid.astype(float)
+            total = wt.sum()
+        picks = rng.choice(len(obs), size=nobs, replace=False, p=wt / total)
+        stacks = [np.stack([banks[i][j] for i in picks]) for j in range(4)]
+        return make_pop_data(*stacks, *sel_arrays)
+
+    return simulate
+
+
+def make_pop_sbc_spec_builder(n_grid: int = 128):
+    """Spec builder for :func:`run_sbc` over the population-only model."""
+
+    def build(data):
+        if data is None:
+            # prior-only prototype (no data needed to enumerate priors)
+            from bumpcosmology_tpu.inference.likelihoods import POP_PRIORS
+            import jax.numpy as jnp
+
+            return ModelSpec(priors=dict(POP_PRIORS), loglike=lambda s: jnp.asarray(0.0))
+        return pop_model_spec(data, n_grid=n_grid)
+
+    return build

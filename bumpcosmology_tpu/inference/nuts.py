@@ -410,8 +410,10 @@ def nuts_transition(
 
 
 def _find_reasonable_eps(value_and_grad, state: ChainState, cov, chol_cov, key, target=0.8):
-    """Double/halve eps until the one-step accept probability crosses 2^-1/2
-    of the way around ``target`` (Hoffman & Gelman 2014, Algorithm 4 spirit)."""
+    """Double/halve eps until the one-step accept probability crosses 0.5
+    (Hoffman & Gelman 2014, Algorithm 4 spirit).  The model is evaluated once
+    per iteration (the accept probability is carried, not recomputed in the
+    loop condition) to keep the compiled program small."""
     dtype = state.theta.dtype
     dim = state.theta.shape[0]
     key, k_mom = jax.random.split(key)
@@ -425,20 +427,21 @@ def _find_reasonable_eps(value_and_grad, state: ChainState, cov, chol_cov, key, 
         return jnp.exp(jnp.minimum(h0 - h1, 0.0))
 
     eps0 = jnp.asarray(1.0, dtype)
-    direction = jnp.where(accept_prob(eps0) > 0.5, 1.0, -1.0)
+    ap0 = accept_prob(eps0)
+    direction = jnp.where(ap0 > 0.5, 1.0, -1.0)
+    factor = jnp.where(direction > 0, 2.0, 0.5).astype(dtype)
 
     def cond(carry):
-        eps, i = carry
-        ap = accept_prob(eps)
+        eps, ap, i = carry
         keep = jnp.where(direction > 0, ap > 0.5, ap < 0.5)
         return keep & (i < 60)
 
     def body(carry):
-        eps, i = carry
-        factor = jnp.where(direction > 0, 2.0, 0.5).astype(dtype)
-        return eps * factor, i + 1
+        eps, ap, i = carry
+        new_eps = eps * factor
+        return new_eps, accept_prob(new_eps), i + 1
 
-    eps, _ = jax.lax.while_loop(cond, body, (eps0, jnp.asarray(0, jnp.int32)))
+    eps, _, _ = jax.lax.while_loop(cond, body, (eps0, ap0, jnp.asarray(0, jnp.int32)))
     return eps
 
 
@@ -500,33 +503,51 @@ def _welford_cov(w: _WelfordState, regularize: bool = True):
 
 
 def warmup_schedule(num_warmup, init_buffer=75, term_buffer=50, base_window=25):
-    """Static per-step flags: (update_welford, window_end) as numpy bool arrays."""
+    """Stan-style windows as segments: a list of (n_steps, update_mass_at_end).
+
+    Fast buffers adapt step size only; slow windows double in length and each
+    ends with a dense-mass update + dual-averaging reset.
+    """
     if num_warmup < 20:
-        return np.zeros(num_warmup, bool), np.zeros(num_warmup, bool)
+        return [(num_warmup, False)] if num_warmup else []
     if init_buffer + term_buffer + base_window > num_warmup:
         scale = num_warmup / (init_buffer + term_buffer + base_window)
         init_buffer = int(init_buffer * scale)
         term_buffer = int(term_buffer * scale)
         base_window = num_warmup - init_buffer - term_buffer
-    update_welford = np.zeros(num_warmup, bool)
-    window_end = np.zeros(num_warmup, bool)
-    update_welford[init_buffer : num_warmup - term_buffer] = True
-    # doubling windows
+    segments = [(init_buffer, False)]
     start = init_buffer
     size = base_window
     while start < num_warmup - term_buffer:
         end = start + size
         if end + 2 * size > num_warmup - term_buffer:
             end = num_warmup - term_buffer
-        window_end[min(end, num_warmup) - 1] = True
+        segments.append((end - start, True))
         start = end
         size *= 2
-    return update_welford, window_end
+    if term_buffer:
+        segments.append((term_buffer, False))
+    return segments
 
 
 # ---------------------------------------------------------------------------
 # Drivers (vectorized chains)
+#
+# The warmup/sampling loops are *chunked*: one small jitted scan program of
+# fixed length is reused for the whole run, with window bookkeeping (mass
+# updates, dual-averaging resets, Welford resets) at the Python level between
+# chunks.  One monolithic scan with lax.cond window logic compiles to a much
+# larger program — large enough to break remote-compile TPU paths — for zero
+# runtime benefit.
 # ---------------------------------------------------------------------------
+
+# Chunk sizes bound the wall-clock of a *single* XLA program execution.
+# Remote-attached TPU paths (e.g. the axon tunnel) enforce per-execution
+# deadlines of roughly a minute; early-warmup NUTS steps can cost ~2s each
+# (max-depth trees at unadapted step sizes), so chunks stay small.  Post-
+# warmup steps are ~100x cheaper and per-chunk dispatch overhead is
+# negligible either way.
+_CHUNK = 10
 
 
 def _init_chain_state(potential_fn, theta0):
@@ -534,108 +555,150 @@ def _init_chain_state(potential_fn, theta0):
     return ChainState(theta=theta0, u=u, grad=grad)
 
 
-@partial(jax.jit, static_argnames=("potential_fn", "num_warmup", "cfg"))
+@partial(jax.jit, static_argnames=("potential_fn",))
+def _init_chains(potential_fn, theta0, keys):
+    """Vmapped chain init + reasonable-eps search (one compact program)."""
+    nchains, dim = theta0.shape
+    dtype = theta0.dtype
+    vag = jax.value_and_grad(potential_fn)
+
+    def per_chain(theta, k):
+        state = _init_chain_state(potential_fn, theta)
+        eye = jnp.eye(dim, dtype=dtype)
+        eps = _find_reasonable_eps(vag, state, eye, eye, k)
+        return state, eps
+
+    state, eps = jax.vmap(per_chain)(theta0, keys)
+    cov = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (nchains, dim, dim))
+    return state, eps, cov
+
+
+@partial(jax.jit, static_argnames=("potential_fn", "n_steps", "cfg"))
+def _warmup_chunk(potential_fn, state, cov, chol, da, wf, key, n_steps: int, cfg: NutsConfig):
+    """n_steps of transition + dual-averaging + Welford, mass matrix frozen."""
+    nchains = state.theta.shape[0]
+
+    def step(carry, step_key):
+        state, da, wf = carry
+        chain_keys = jax.random.split(step_key, nchains)
+        eps = jnp.exp(da.log_eps)
+        new_state, stats = jax.vmap(
+            lambda s, e, c, ch, k: nuts_transition(potential_fn, s, e, c, ch, k, cfg.max_depth)
+        )(state, eps, cov, chol, chain_keys)
+        da = jax.vmap(lambda d, a: _da_update(d, a, cfg))(da, stats.accept_prob)
+        wf = jax.vmap(_welford_update)(wf, new_state.theta)
+        return (new_state, da, wf), stats.accept_prob
+
+    step_keys = jax.random.split(key, n_steps)
+    (state, da, wf), accept = jax.lax.scan(step, (state, da, wf), step_keys)
+    return state, da, wf, accept
+
+
+@jax.jit
+def _end_window(cov, chol, da, wf):
+    """Mass-matrix update from the window's Welford state + DA reset."""
+    nchains, dim = da.log_eps.shape[0], cov.shape[-1]
+    dtype = cov.dtype
+    new_cov = jax.vmap(_welford_cov)(wf)
+    new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+    bad = jax.vmap(lambda c: jnp.any(jnp.isnan(c)))(new_chol)
+    new_cov = jnp.where(bad[:, None, None], cov, new_cov)
+    new_chol = jnp.where(bad[:, None, None], chol, new_chol)
+    eps_now = jnp.exp(da.log_eps)
+    new_da = jax.vmap(lambda e: _da_init(e, dtype))(eps_now)
+    new_wf = _batched_welford_init(nchains, dim, dtype)
+    return new_cov, new_chol, new_da, new_wf
+
+
+def _batched_welford_init(nchains, dim, dtype):
+    return _WelfordState(
+        count=jnp.zeros((nchains,), dtype),
+        mean=jnp.zeros((nchains, dim), dtype),
+        m2=jnp.zeros((nchains, dim, dim), dtype),
+    )
+
+
 def run_warmup(
     potential_fn: Callable,
     theta0: jnp.ndarray,  # (chains, dim)
     key: jnp.ndarray,
     num_warmup: int,
     cfg: NutsConfig = NutsConfig(),
-) -> WarmupResult:
+):
     """Windowed warmup for a batch of chains (each adapts independently,
     matching the reference's per-chain numpyro adaptation)."""
     nchains, dim = theta0.shape
     dtype = theta0.dtype
-    vag = jax.value_and_grad(potential_fn)
-
-    update_wf_flags, window_end_flags = warmup_schedule(num_warmup)
-    update_wf_flags = jnp.asarray(update_wf_flags)
-    window_end_flags = jnp.asarray(window_end_flags)
-
-    def per_chain_init(theta, k):
-        state = _init_chain_state(potential_fn, theta)
-        cov = jnp.eye(dim, dtype=dtype)
-        chol = jnp.eye(dim, dtype=dtype)
-        eps = _find_reasonable_eps(vag, state, cov, chol, k)
-        da = _da_init(eps, dtype)
-        wf = _welford_init(dim, dtype)
-        return state, cov, chol, da, wf
 
     keys = jax.random.split(key, nchains + 1)
-    init_keys, scan_key = keys[:nchains], keys[nchains]
-    state, cov, chol, da, wf = jax.vmap(per_chain_init)(theta0, init_keys)
+    state, eps, cov = _init_chains(potential_fn, theta0, keys[:nchains])
+    chol = cov  # identity
+    da = jax.vmap(lambda e: _da_init(e, dtype))(eps)
+    wf = _batched_welford_init(nchains, dim, dtype)
 
-    def step(carry, xs):
-        state, cov, chol, da, wf = carry
-        step_key, update_wf, window_end = xs
+    chunk_key = keys[nchains]
+    for n_steps, update_mass in warmup_schedule(num_warmup):
+        done = 0
+        while done < n_steps:
+            n = min(_CHUNK, n_steps - done)
+            chunk_key, k = jax.random.split(chunk_key)
+            state, da, wf, _ = _warmup_chunk(potential_fn, state, cov, chol, da, wf, k, n, cfg)
+            done += n
+        if update_mass:
+            cov, chol, da, wf = _end_window(cov, chol, da, wf)
+        else:
+            # fast buffer: discard its Welford statistics, keep step size
+            wf = _batched_welford_init(nchains, dim, dtype)
+
+    eps_final = jnp.exp(da.log_eps_bar)
+    return WarmupResult(state=state, eps=eps_final, cov=cov, chol_cov=chol), None
+
+
+@partial(jax.jit, static_argnames=("potential_fn", "n_steps", "cfg"))
+def _sample_chunk(potential_fn, state, eps, cov, chol, key, n_steps: int, cfg: NutsConfig):
+    nchains = state.theta.shape[0]
+
+    def step(state, step_key):
         chain_keys = jax.random.split(step_key, nchains)
-        eps = jnp.exp(da.log_eps)
-
         new_state, stats = jax.vmap(
             lambda s, e, c, ch, k: nuts_transition(potential_fn, s, e, c, ch, k, cfg.max_depth)
         )(state, eps, cov, chol, chain_keys)
+        return new_state, (new_state.theta, stats)
 
-        da = jax.vmap(lambda d, a: _da_update(d, a, cfg))(da, stats.accept_prob)
-        wf = jax.lax.cond(
-            update_wf,
-            lambda w: jax.vmap(_welford_update)(w, new_state.theta),
-            lambda w: w,
-            wf,
-        )
-
-        def end_window(args):
-            cov_, chol_, da_, wf_, st_ = args
-            new_cov = jax.vmap(_welford_cov)(wf_)
-            new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
-            # guard: fall back to previous mass matrix if Cholesky failed
-            bad = jax.vmap(lambda c: jnp.any(jnp.isnan(c)))(new_chol)
-            new_cov = jnp.where(bad[:, None, None], cov_, new_cov)
-            new_chol = jnp.where(bad[:, None, None], chol_, new_chol)
-            eps_now = jnp.exp(da_.log_eps)
-            new_da = jax.vmap(lambda e: _da_init(e, dtype))(eps_now)
-            new_wf = jax.vmap(lambda _: _welford_init(dim, dtype))(jnp.arange(nchains))
-            return new_cov, new_chol, new_da, new_wf
-
-        cov, chol, da, wf = jax.lax.cond(
-            window_end,
-            end_window,
-            lambda args: (args[0], args[1], args[2], args[3]),
-            (cov, chol, da, wf, new_state),
-        )
-        return (new_state, cov, chol, da, wf), stats
-
-    step_keys = jax.random.split(scan_key, num_warmup)
-    (state, cov, chol, da, wf), stats = jax.lax.scan(
-        step, (state, cov, chol, da, wf), (step_keys, update_wf_flags, window_end_flags)
-    )
-    eps_final = jnp.exp(da.log_eps_bar)
-    return WarmupResult(state=state, eps=eps_final, cov=cov, chol_cov=chol), stats
+    step_keys = jax.random.split(key, n_steps)
+    state, (thetas, stats) = jax.lax.scan(step, state, step_keys)
+    return state, thetas, stats
 
 
-@partial(jax.jit, static_argnames=("potential_fn", "num_samples", "cfg"))
 def run_sampling(
     potential_fn: Callable,
     warm: WarmupResult,
     key: jnp.ndarray,
     num_samples: int,
     cfg: NutsConfig = NutsConfig(),
+    chunk_size: int = 25,
 ):
     """Post-warmup sampling: returns (samples (chains, num_samples, dim), stats)."""
-    nchains = warm.state.theta.shape[0]
+    state = warm.state
+    theta_chunks = []
+    stats_chunks = []
+    done = 0
+    while done < num_samples:
+        n = min(chunk_size, num_samples - done)
+        key, k = jax.random.split(key)
+        state, thetas, stats = _sample_chunk(
+            potential_fn, state, warm.eps, warm.cov, warm.chol_cov, k, n, cfg
+        )
+        theta_chunks.append(thetas)
+        stats_chunks.append(stats)
+        done += n
 
-    def step(state, step_key):
-        chain_keys = jax.random.split(step_key, nchains)
-        new_state, stats = jax.vmap(
-            lambda s, e, c, ch, k: nuts_transition(potential_fn, s, e, c, ch, k, cfg.max_depth)
-        )(state, warm.eps, warm.cov, warm.chol_cov, chain_keys)
-        return new_state, (new_state.theta, stats)
-
-    step_keys = jax.random.split(key, num_samples)
-    final_state, (thetas, stats) = jax.lax.scan(step, warm.state, step_keys)
-    # (num_samples, chains, dim) -> (chains, num_samples, dim)
+    thetas = jnp.concatenate(theta_chunks, axis=0)
+    stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *stats_chunks)
+    # (num_samples, chains, ...) -> (chains, num_samples, ...)
     thetas = jnp.swapaxes(thetas, 0, 1)
     stats = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1) if x.ndim >= 2 else x, stats)
-    return thetas, stats, WarmupResult(final_state, warm.eps, warm.cov, warm.chol_cov)
+    return thetas, stats, WarmupResult(state, warm.eps, warm.cov, warm.chol_cov)
 
 
 def run_nuts(

@@ -13,14 +13,17 @@ from bumpcosmology_tpu.inference.nuts import NutsConfig, run_nuts, warmup_schedu
 
 
 def test_warmup_schedule_structure():
-    upd, end = warmup_schedule(1000)
-    assert upd.shape == (1000,)
-    # fast buffers excluded from covariance accumulation
-    assert not upd[:75].any() and not upd[-50:].any()
-    assert upd[75:-50].all()
-    # final slow window closes exactly at the terminal buffer boundary
-    assert end[1000 - 50 - 1]
-    assert end.sum() >= 3
+    segments = warmup_schedule(1000)
+    lengths = [n for n, _ in segments]
+    updates = [u for _, u in segments]
+    assert sum(lengths) == 1000
+    # fast init buffer and terminal buffer do not update the mass matrix
+    assert updates[0] is False and updates[-1] is False
+    # doubling slow windows in between, each ending with a mass update
+    assert all(updates[1:-1])
+    assert lengths[1:-1] == [25, 50, 100, 200, 500]
+    # degenerate short warmup
+    assert warmup_schedule(10) == [(10, False)]
 
 
 def test_standard_gaussian_recovery():
