@@ -624,9 +624,13 @@ def run_warmup(
     key: jnp.ndarray,
     num_warmup: int,
     cfg: NutsConfig = NutsConfig(),
+    progress: Optional[Callable[[int, int, float], None]] = None,
 ):
     """Windowed warmup for a batch of chains (each adapts independently,
-    matching the reference's per-chain numpyro adaptation)."""
+    matching the reference's per-chain numpyro adaptation).
+
+    ``progress(step, num_warmup, mean_accept)`` is called after every chunk.
+    """
     nchains, dim = theta0.shape
     dtype = theta0.dtype
 
@@ -637,13 +641,19 @@ def run_warmup(
     wf = _batched_welford_init(nchains, dim, dtype)
 
     chunk_key = keys[nchains]
+    total_done = 0
     for n_steps, update_mass in warmup_schedule(num_warmup):
         done = 0
         while done < n_steps:
             n = min(_CHUNK, n_steps - done)
             chunk_key, k = jax.random.split(chunk_key)
-            state, da, wf, _ = _warmup_chunk(potential_fn, state, cov, chol, da, wf, k, n, cfg)
+            state, da, wf, accept = _warmup_chunk(
+                potential_fn, state, cov, chol, da, wf, k, n, cfg
+            )
             done += n
+            total_done += n
+            if progress is not None:
+                progress(total_done, num_warmup, float(jnp.mean(accept)))
         if update_mass:
             cov, chol, da, wf = _end_window(cov, chol, da, wf)
         else:

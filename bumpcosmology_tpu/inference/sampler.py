@@ -71,12 +71,19 @@ def fit(
     deterministics_fn: Optional[Callable] = None,
     init_theta: Optional[jnp.ndarray] = None,
     warmup_state: Optional[WarmupResult] = None,
+    mesh=None,
     verbose: bool = True,
 ) -> FitResult:
     """Run NUTS on ``spec``; returns constrained posterior + stats + states.
 
     ``warmup_state`` (from a previous :class:`FitResult`) skips adaptation —
     the resume path the reference lacks (SURVEY.md §5 checkpoint/resume).
+
+    With ``mesh`` given, the chain batch is sharded along the ``chains`` mesh
+    axis (the data inside ``spec``'s closure should already be placed with
+    :func:`bumpcosmology_tpu.parallel.shard_pop_data` /
+    ``shard_pop_cosmo_data``); XLA then partitions every transition across
+    the mesh.
     """
     potential = make_potential(spec)
     k_init, k_warm, k_sample = jax.random.split(key, 3)
@@ -87,8 +94,25 @@ def fit(
             init_theta = jax.vmap(lambda k: prior_sample(spec, k))(
                 jax.random.split(k_init, num_chains)
             )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from bumpcosmology_tpu.parallel.mesh import CHAIN_AXIS
+
+            init_theta = jax.device_put(
+                init_theta, NamedSharding(mesh, P(CHAIN_AXIS))
+            )
         t0 = time.perf_counter()
-        warm, _ = run_warmup(potential, init_theta, k_warm, num_warmup, cfg)
+        progress = None
+        if verbose:
+            def progress(step, total, accept):
+                if step % 100 == 0 or step == total:
+                    print(
+                        f"[fit] warmup {step}/{total} "
+                        f"(accept {accept:.2f}, {time.perf_counter() - t0:.0f}s)",
+                        flush=True,
+                    )
+        warm, _ = run_warmup(potential, init_theta, k_warm, num_warmup, cfg, progress=progress)
         jax.block_until_ready(warm.state.theta)
         timings["warmup_s"] = time.perf_counter() - t0
         if verbose:
