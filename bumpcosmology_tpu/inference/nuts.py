@@ -57,6 +57,11 @@ class NutsConfig(NamedTuple):
     da_t0: float = 10.0
     da_kappa: float = 0.75
     dense_mass: bool = True
+    # Pool Welford statistics across the vectorized chain batch at window
+    # ends (one shared mass matrix).  With many chains this gives far better
+    # covariance estimates per warmup step than the reference's per-chain
+    # adaptation — the "many chains, short warmup" regime TPUs favor.
+    shared_mass: bool = False
 
 
 class ChainState(NamedTuple):
@@ -594,11 +599,31 @@ def _warmup_chunk(potential_fn, state, cov, chol, da, wf, key, n_steps: int, cfg
     return state, da, wf, accept
 
 
-@jax.jit
-def _end_window(cov, chol, da, wf):
+def _pool_welford(wf: _WelfordState) -> _WelfordState:
+    """Combine per-chain Welford states (Chan et al. pairwise formula) into a
+    single state, broadcast back over the chain axis."""
+    nchains = wf.count.shape[0]
+    n_total = jnp.sum(wf.count)
+    n_safe = jnp.maximum(n_total, 1.0)
+    mean = jnp.sum(wf.count[:, None] * wf.mean, axis=0) / n_safe
+    delta = wf.mean - mean[None, :]
+    m2 = jnp.sum(wf.m2, axis=0) + jnp.sum(
+        wf.count[:, None, None] * delta[:, :, None] * delta[:, None, :], axis=0
+    )
+    return _WelfordState(
+        count=jnp.broadcast_to(n_total, (nchains,)),
+        mean=jnp.broadcast_to(mean, wf.mean.shape),
+        m2=jnp.broadcast_to(m2, wf.m2.shape),
+    )
+
+
+@partial(jax.jit, static_argnames=("shared_mass",))
+def _end_window(cov, chol, da, wf, shared_mass: bool = False):
     """Mass-matrix update from the window's Welford state + DA reset."""
     nchains, dim = da.log_eps.shape[0], cov.shape[-1]
     dtype = cov.dtype
+    if shared_mass:
+        wf = _pool_welford(wf)
     new_cov = jax.vmap(_welford_cov)(wf)
     new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
     bad = jax.vmap(lambda c: jnp.any(jnp.isnan(c)))(new_chol)
@@ -655,7 +680,7 @@ def run_warmup(
             if progress is not None:
                 progress(total_done, num_warmup, float(jnp.mean(accept)))
         if update_mass:
-            cov, chol, da, wf = _end_window(cov, chol, da, wf)
+            cov, chol, da, wf = _end_window(cov, chol, da, wf, shared_mass=cfg.shared_mass)
         else:
             # fast buffer: discard its Welford statistics, keep step size
             wf = _batched_welford_init(nchains, dim, dtype)

@@ -135,3 +135,49 @@ def test_summary_and_diagnostics_api():
     assert 0.9 < s["sd"] < 1.1
     assert s["rhat"] < 1.02
     assert s["ess"] > 1000  # iid draws
+
+
+def test_shared_mass_pooling():
+    """Pooled Welford must equal the covariance of the concatenated draws."""
+    from bumpcosmology_tpu.inference.nuts import (
+        _batched_welford_init,
+        _pool_welford,
+        _welford_cov,
+        _welford_update,
+    )
+
+    rng = np.random.default_rng(0)
+    nchains, n, dim = 4, 200, 3
+    draws = rng.multivariate_normal(
+        np.zeros(dim), [[1, 0.5, 0], [0.5, 2, 0.3], [0, 0.3, 0.5]], size=(nchains, n)
+    ).astype(np.float32)
+
+    wf = _batched_welford_init(nchains, dim, jnp.float32)
+    for t in range(n):
+        wf = jax.vmap(_welford_update)(wf, jnp.asarray(draws[:, t]))
+    pooled = _pool_welford(wf)
+    cov_pooled = np.asarray(_welford_cov(jax.tree.map(lambda x: x[0], pooled), regularize=False))
+    cov_np = np.cov(draws.reshape(-1, dim).T)
+    np.testing.assert_allclose(cov_pooled, cov_np, rtol=2e-3, atol=2e-3)
+
+
+def test_shared_mass_fit_runs():
+    from bumpcosmology_tpu.inference.nuts import NutsConfig, run_nuts
+
+    rho = 0.8
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]])).astype(np.float32)
+
+    def potential(theta):
+        return 0.5 * theta @ jnp.asarray(prec) @ theta
+
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    samples, stats, warm, _ = run_nuts(
+        potential, theta0, jax.random.PRNGKey(1),
+        num_warmup=300, num_samples=300, cfg=NutsConfig(shared_mass=True),
+    )
+    x = np.asarray(samples).reshape(-1, 2)
+    emp = np.cov(x.T)
+    np.testing.assert_allclose(emp[0, 1], rho, atol=0.15)
+    # all chains share one mass matrix
+    cov = np.asarray(warm.cov)
+    np.testing.assert_allclose(cov[0], cov[1], rtol=1e-6)
