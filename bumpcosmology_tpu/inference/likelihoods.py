@@ -40,6 +40,7 @@ from bumpcosmology_tpu.models.cosmology import (
     CosmologyTable,
     build_cosmology,
     ddl_dz_at_z,
+    dvc_and_ddl_at_z,
     dvc_dz_at_z,
     efunc,
     planck18_log_dvdz_grid,
@@ -273,11 +274,12 @@ def _cosmo_frame_logwts(pop, cosmo: CosmologyTable, a, q, dl, log_pdraw):
     """
     z = z_at_dl(cosmo, dl)
     m1 = a / (1.0 + z)
+    dvc, ddl = dvc_and_ddl_at_z(cosmo, z)
     return (
         log_dndmdqdv(pop, m1, q, z)
         - 2.0 * jnp.log1p(z)
-        + jnp.log(dvc_dz_at_z(cosmo, z))
-        - jnp.log(ddl_dz_at_z(cosmo, z))
+        + jnp.log(dvc)
+        - jnp.log(ddl)
         - log_pdraw
     )
 

@@ -39,6 +39,7 @@ from bumpcosmology_tpu.models.cosmology import (
     dc_at_z,
     dl_at_z,
     ddl_dz_at_z,
+    dvc_and_ddl_at_z,
     vc_at_z,
     dvc_dz_at_z,
     log_diff_comoving_volume_rate,

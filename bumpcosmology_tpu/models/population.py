@@ -44,16 +44,23 @@ def build_population(params: PopulationParams, n_grid: int = DEFAULT_N_GRID) -> 
 
 
 def log_dndmdqdv(pop: PopulationIntensity, m1, q, z):
-    """log dN/dm1/dq/dV/dt at (m1, q, z) (``intensity_models.py:202-210``)."""
+    """log dN/dm1/dq/dV/dt at (m1, q, z) (``intensity_models.py:202-210``).
+
+    The two mass-function evaluations (m1 and m2 = q·m1) are batched into a
+    single stacked table lookup — one interpolation contraction instead of
+    two on TPU.
+    """
     m1 = jnp.asarray(m1)
     q = jnp.asarray(q)
     z = jnp.asarray(z)
     m2 = q * m1
     mt = m1 + m2
     beta = pop.params.mass.beta
+    m1_b, m2_b = jnp.broadcast_arrays(m1, m2)
+    both = log_dndm(pop.mass_table, jnp.stack([m1_b, m2_b]))
     return (
-        log_dndm(pop.mass_table, m1)
-        + log_dndm(pop.mass_table, m2)
+        both[0]
+        + both[1]
         + beta * jnp.log(mt / (MREF * (1.0 + QREF)))
         + jnp.log(m1)
         + log_dndv(z, pop.params.redshift)

@@ -120,6 +120,8 @@ def _interp_unit_gather(x, x0, dx, fp):
     t = jnp.clip(pos - lo.astype(pos.dtype), 0.0, 1.0)
     f_lo = fp[lo]
     f_hi = fp[lo + 1]
+    if fp.ndim == 2:  # (K, C) tables: broadcast the weight over columns
+        t = t[..., None]
     return f_lo + t * (f_hi - f_lo)
 
 
@@ -127,6 +129,8 @@ def _interp_unit_matmul(x, x0, dx, fp):
     """Hat-function weights W[n,k] = max(0, 1 - |pos_n - k|); out = W @ fp.
 
     One (N, K) matmul; exact linear interpolation with endpoint clamping.
+    ``fp`` may be (K,) or (K, C) — multiple table columns share one weight
+    matrix (used to fetch several cosmology columns per query batch).
     """
     shape = x.shape
     n = fp.shape[0]
@@ -134,7 +138,7 @@ def _interp_unit_matmul(x, x0, dx, fp):
     k = jax.lax.broadcasted_iota(pos.dtype, (1, n), 1)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - k))
     out = jnp.dot(w, fp, preferred_element_type=pos.dtype)
-    return out.reshape(shape)
+    return out.reshape(shape + fp.shape[1:])
 
 
 def interp_unit_spaced(

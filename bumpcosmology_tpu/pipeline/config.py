@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Optional
 
-__all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "PipelineConfig"]
+__all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "SBCConfig", "PipelineConfig"]
 
 
 @dataclass
@@ -54,6 +54,7 @@ class FitConfig:
     n_grid: int = 256
     n_z: int = 1024
     n_chain_shards: int = 1  # mesh rows for the chains axis
+    shared_mass: bool = False  # pool mass-matrix adaptation across chains
 
 
 @dataclass
@@ -73,11 +74,28 @@ class MockConfig:
 
 
 @dataclass
+class SBCConfig:
+    """Simulation-based calibration suite (BASELINE.md scale-out config)."""
+
+    n_sims: int = 20
+    nobs: int = 12
+    nsamp: int = 64
+    nsel: int = 512
+    campaign_ndraw: int = 200_000
+    num_warmup: int = 200
+    num_samples: int = 256
+    thin: int = 4
+    threshold: float = 20.0
+    seed: int = 424242
+
+
+@dataclass
 class PipelineConfig:
     paths: PathsConfig = field(default_factory=PathsConfig)
     ingest: IngestConfig = field(default_factory=IngestConfig)
     fit: FitConfig = field(default_factory=FitConfig)
     mock: MockConfig = field(default_factory=MockConfig)
+    sbc: SBCConfig = field(default_factory=SBCConfig)
 
     @classmethod
     def load(cls, json_path: Optional[str] = None, overrides: Optional[list] = None):

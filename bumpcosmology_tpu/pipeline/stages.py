@@ -104,7 +104,11 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         ndraw=float(sel["ndraw"].iloc[0]),
     )
     spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
-    nuts_cfg = NutsConfig(max_depth=cfg.fit.max_depth, target_accept=cfg.fit.target_accept)
+    nuts_cfg = NutsConfig(
+        max_depth=cfg.fit.max_depth,
+        target_accept=cfg.fit.target_accept,
+        shared_mass=cfg.fit.shared_mass,
+    )
     res = fit(
         spec,
         jax.random.PRNGKey(cfg.fit.seed),
@@ -157,7 +161,11 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         ndraw=float(sel["ndraw"].iloc[0]),
     )
     spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
-    nuts_cfg = NutsConfig(max_depth=cfg.fit.max_depth, target_accept=cfg.fit.target_accept)
+    nuts_cfg = NutsConfig(
+        max_depth=cfg.fit.max_depth,
+        target_accept=cfg.fit.target_accept,
+        shared_mass=cfg.fit.shared_mass,
+    )
     res = fit(
         spec,
         jax.random.PRNGKey(cfg.fit.cosmo_seed),
@@ -218,6 +226,54 @@ def _stage_mock_year_samples(cfg: PipelineConfig):
     write_table(cfg.paths.path("mock_year_samples.h5"), cat)
 
 
+def _stage_sbc(cfg: PipelineConfig):
+    """Simulation-based calibration suite -> sbc_ranks.h5 (ranks + p-values).
+
+    The reference has no calibration machinery; this is the scale-out config
+    of BASELINE.md ("multi-chain calibration suite").
+    """
+    import h5py
+    import jax
+
+    from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_simulator,
+        make_pop_sbc_spec_builder,
+        run_sbc,
+        sbc_uniformity_pvalues,
+    )
+    from bumpcosmology_tpu.mock import add_observation_noise, draw_injection_campaign
+
+    c = cfg.sbc
+    inj = draw_injection_campaign(ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk)
+    obs = add_observation_noise(inj, seed=c.seed + 1, threshold=c.threshold)
+    simulate = make_mock_pop_simulator(
+        obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
+        seed=c.seed + 2,
+    )
+    ranks = run_sbc(
+        make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid),
+        simulate,
+        n_sims=c.n_sims,
+        key=jax.random.PRNGKey(c.seed + 3),
+        num_warmup=c.num_warmup,
+        num_samples=c.num_samples,
+        thin=c.thin,
+    )
+    pvals = sbc_uniformity_pvalues(ranks)
+    out = cfg.paths.path("sbc_ranks.h5")
+    with h5py.File(out, "w") as f:
+        g = f.create_group("ranks")
+        for k, v in ranks.items():
+            g.create_dataset(k.strip("_") if k == "__n_bins__" else k, data=np.asarray(v))
+        g2 = f.create_group("pvalues")
+        for k, v in pvals.items():
+            g2.attrs[k] = v
+    print("[sbc] uniformity p-values:", {k: round(v, 3) for k, v in pvals.items()})
+    bad = [k for k, v in pvals.items() if v < 0.01]
+    if bad:
+        print(f"[sbc] WARNING: sites failing uniformity at p<0.01: {bad}")
+
+
 # ------------------------------------------------------------------- assembly
 
 
@@ -262,6 +318,11 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 inputs=[p("mock_injections.h5")],
                 outputs=[p("mock_observations.h5")],
                 after=["mock_injections"],
+            ),
+            Stage(
+                "sbc",
+                lambda: _stage_sbc(cfg),
+                outputs=[p("sbc_ranks.h5")],
             ),
             Stage(
                 "mock_year_samples",

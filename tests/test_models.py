@@ -256,3 +256,29 @@ def test_log_diff_comoving_volume_rate():
     want = math.log(float(dvc_dz_at_z(table, jnp.asarray(z)))) - math.log1p(z)
     got = float(log_diff_comoving_volume_rate(table, jnp.asarray(z)))
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_dvc_and_ddl_fused_lookup():
+    from bumpcosmology_tpu.models import dvc_and_ddl_at_z
+
+    table = build_cosmology(PLANCK18)
+    z = jnp.asarray([0.1, 0.8, 2.0])
+    dvc, ddl = dvc_and_ddl_at_z(table, z)
+    np.testing.assert_allclose(np.asarray(dvc), np.asarray(dvc_dz_at_z(table, z)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ddl), np.asarray(ddl_dz_at_z(table, z)), rtol=1e-6)
+
+
+def test_log_dndmdqdv_stacked_lookup_matches_separate():
+    pop = build_population(DEFAULT_POPULATION)
+    m1 = jnp.asarray([12.0, 33.0, 41.0])
+    q = jnp.asarray([0.9, 0.7, 0.95])
+    z = jnp.asarray([0.1, 0.4, 0.9])
+    got = np.asarray(log_dndmdqdv(pop, m1, q, z))
+    want = (
+        np.asarray(log_dndm(pop.mass_table, m1))
+        + np.asarray(log_dndm(pop.mass_table, q * m1))
+        + DEFAULT_MASS.beta * np.log(np.asarray(m1 + q * m1) / 60.0)
+        + np.log(np.asarray(m1))
+        + np.asarray(log_dndv(z, DEFAULT_REDSHIFT))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
