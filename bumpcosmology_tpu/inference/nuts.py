@@ -712,6 +712,7 @@ def run_sampling(
     num_samples: int,
     cfg: NutsConfig = NutsConfig(),
     chunk_size: int = 25,
+    progress: Optional[Callable[[int, int], None]] = None,
 ):
     """Post-warmup sampling: returns (samples (chains, num_samples, dim), stats)."""
     state = warm.state
@@ -727,6 +728,8 @@ def run_sampling(
         theta_chunks.append(thetas)
         stats_chunks.append(stats)
         done += n
+        if progress is not None:
+            progress(done, num_samples)
 
     thetas = jnp.concatenate(theta_chunks, axis=0)
     stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *stats_chunks)

@@ -31,6 +31,31 @@ from bumpcosmology_tpu.inference.nuts import (
 __all__ = ["FitResult", "fit", "compute_deterministics"]
 
 
+def _finite_prior_init(spec, potential, key, num_chains, max_tries: int = 50):
+    """Prior-sample chain initializations, redrawn until the potential is
+    finite for every chain.
+
+    A prior draw can land where the likelihood is exactly zero (e.g. mass
+    hyperparameters placing all PE samples outside the bump support, giving
+    a -inf event marginal); starting NUTS there makes H0 infinite and every
+    energy difference NaN.  numpyro's init_to_sample does the same redraw.
+    """
+    pot_batch = jax.jit(jax.vmap(potential))
+    theta = jax.vmap(lambda k: prior_sample(spec, k))(jax.random.split(key, num_chains))
+    for _ in range(max_tries):
+        u = pot_batch(theta)
+        bad = ~np.isfinite(np.asarray(u))
+        if not bad.any():
+            return theta
+        key, k = jax.random.split(key)
+        fresh = jax.vmap(lambda kk: prior_sample(spec, kk))(jax.random.split(k, num_chains))
+        theta = jnp.where(jnp.asarray(bad)[:, None], fresh, theta)
+    raise RuntimeError(
+        f"could not find finite-potential initializations for {int(bad.sum())} "
+        f"chain(s) after {max_tries} prior redraws — check the model/data"
+    )
+
+
 class FitResult(NamedTuple):
     posterior: Dict[str, np.ndarray]  # site -> (chains, draws) or (chains, draws, k)
     sample_stats: Dict[str, np.ndarray]
@@ -91,9 +116,7 @@ def fit(
     timings: Dict[str, float] = {}
     if warmup_state is None:
         if init_theta is None:
-            init_theta = jax.vmap(lambda k: prior_sample(spec, k))(
-                jax.random.split(k_init, num_chains)
-            )
+            init_theta = _finite_prior_init(spec, potential, k_init, num_chains)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -121,7 +144,17 @@ def fit(
         warm = warmup_state
 
     t0 = time.perf_counter()
-    thetas, stats, final = run_sampling(potential, warm, k_sample, num_samples, cfg)
+    sample_progress = None
+    if verbose:
+        def sample_progress(done, total):
+            if done % 100 == 0 or done == total:
+                print(
+                    f"[fit] sampling {done}/{total} ({time.perf_counter() - t0:.0f}s)",
+                    flush=True,
+                )
+    thetas, stats, final = run_sampling(
+        potential, warm, k_sample, num_samples, cfg, progress=sample_progress
+    )
     jax.block_until_ready(thetas)
     timings["sampling_s"] = time.perf_counter() - t0
 

@@ -181,3 +181,21 @@ def test_shared_mass_fit_runs():
     # all chains share one mass matrix
     cov = np.asarray(warm.cov)
     np.testing.assert_allclose(cov[0], cov[1], rtol=1e-6)
+
+
+def test_finite_prior_init_redraws():
+    """Chains must never initialize where the potential is infinite."""
+    from bumpcosmology_tpu.inference.sampler import _finite_prior_init
+    from bumpcosmology_tpu.inference.model import make_potential
+
+    priors = {"x": Normal(0.0, 1.0)}
+    # zero likelihood on half the prior mass
+    spec = ModelSpec(
+        priors=priors,
+        loglike=lambda s: jnp.where(s["x"] > 0.0, -jnp.inf, 0.0),
+    )
+    pot = make_potential(spec)
+    theta = _finite_prior_init(spec, pot, jax.random.PRNGKey(0), num_chains=16)
+    u = jax.vmap(pot)(theta)
+    assert np.all(np.isfinite(np.asarray(u)))
+    assert np.all(np.asarray(theta)[:, 0] <= 0.0)
