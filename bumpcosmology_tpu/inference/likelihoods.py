@@ -142,6 +142,20 @@ class PopCosmoData(NamedTuple):
     selection: SelectionData
 
 
+def _log_pdraw(pdraw, dtype):
+    """log(pdraw) computed in float64 *before* casting.
+
+    Importance weights can be smaller than the float32 minimum normal
+    (~1e-38); casting first silently flushes them to zero and the log becomes
+    -inf, which flips the corresponding log-weight to +inf and poisons the
+    whole likelihood.  The log itself (~-100s) is perfectly representable.
+    """
+    pdraw = np.asarray(pdraw, dtype=np.float64)
+    if np.any(pdraw <= 0) or not np.all(np.isfinite(pdraw)):
+        raise ValueError("pdraw must be strictly positive and finite")
+    return jnp.asarray(np.log(pdraw), dtype)
+
+
 def make_pop_data(
     m1s, qs, zs, pdraw, m1s_sel, qs_sel, zs_sel, pdraw_sel, ndraw, dtype=jnp.float32
 ) -> PopData:
@@ -157,13 +171,13 @@ def make_pop_data(
         a=jnp.asarray(m1s, dtype),
         q=jnp.asarray(qs, dtype),
         c=jnp.asarray(zs, dtype),
-        log_pdraw=jnp.log(jnp.asarray(pdraw, dtype)),
+        log_pdraw=_log_pdraw(pdraw, dtype),
     )
     sel = SelectionData(
         a=jnp.asarray(m1s_sel, dtype),
         q=jnp.asarray(qs_sel, dtype),
         c=jnp.asarray(zs_sel, dtype),
-        log_pdraw=jnp.log(jnp.asarray(pdraw_sel, dtype)),
+        log_pdraw=_log_pdraw(pdraw_sel, dtype),
         log_ndraw=jnp.log(jnp.asarray(ndraw, dtype)),
     )
     return PopData(events=ev, selection=sel, planck=planck)
@@ -177,13 +191,13 @@ def make_pop_cosmo_data(
         a=jnp.asarray(m1s_det, dtype),
         q=jnp.asarray(qs, dtype),
         c=jnp.asarray(dls, dtype),
-        log_pdraw=jnp.log(jnp.asarray(pdraw, dtype)),
+        log_pdraw=_log_pdraw(pdraw, dtype),
     )
     sel = SelectionData(
         a=jnp.asarray(m1s_det_sel, dtype),
         q=jnp.asarray(qs_sel, dtype),
         c=jnp.asarray(dls_sel, dtype),
-        log_pdraw=jnp.log(jnp.asarray(pdraw_sel, dtype)),
+        log_pdraw=_log_pdraw(pdraw_sel, dtype),
         log_ndraw=jnp.log(jnp.asarray(ndraw, dtype)),
     )
     return PopCosmoData(events=ev, selection=sel)
