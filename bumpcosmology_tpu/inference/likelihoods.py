@@ -162,6 +162,12 @@ def make_pop_data(
     """Assemble :class:`PopData` from raw arrays (cf. ``run_fit.py:22-39``)."""
     zgrid, log_dv = planck18_log_dvdz_grid()
     du = np.log1p(zgrid[-1]) / (len(zgrid) - 1)
+    # Clamp the z=0 knot (-inf: zero comoving volume) to a large finite value:
+    # matmul-formulated interpolation contracts zero weights against every
+    # table entry, and 0 * inf = NaN would poison all lookups.  e^-200 is
+    # zero weight to float32 anyway.
+    finite_min = np.min(log_dv[np.isfinite(log_dv)])
+    log_dv = np.where(np.isfinite(log_dv), log_dv, finite_min - 200.0)
     planck = FixedCosmoGrid(
         u0=jnp.asarray(0.0, dtype),
         du=jnp.asarray(du, dtype),

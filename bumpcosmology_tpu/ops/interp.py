@@ -150,6 +150,10 @@ def interp_unit_spaced(
     hot-path lookup for the PISN-bump mass grid and the log1p(z)-uniform
     cosmology tables.  ``method``: ``"gather"`` (2 dynamic gathers/query) or
     ``"matmul"`` (hat-weight MXU contraction, the TPU default).
+
+    **The matmul formulation requires a finite table**: it contracts zero
+    weights against every entry, and ``0 * inf = NaN`` poisons all outputs.
+    Clamp sentinel -inf knots to large finite values at table construction.
     """
     x = jnp.asarray(x)
     fp = jnp.asarray(fp)

@@ -182,3 +182,18 @@ def test_interp_matmul_gradients_match_gather():
         ga = jax.grad(f("gather"), argnums=arg)(2.0, x)
         gb = jax.grad(f("matmul"), argnums=arg)(2.0, x)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-4, atol=1e-6)
+
+
+def test_interp_matmul_nan_poisoning_documented():
+    """matmul interp requires finite tables: -inf entries poison every query
+    (0 * inf = NaN).  Producers clamp; this test pins the behavior."""
+    fp = jnp.asarray([-jnp.inf, 1.0, 2.0, 3.0])
+    x = jnp.asarray([2.5])
+    good = ops.interp_unit_spaced(x, 0.0, 1.0, fp, method="gather")
+    np.testing.assert_allclose(float(good[0]), 2.5)
+    bad = ops.interp_unit_spaced(x, 0.0, 1.0, fp, method="matmul")
+    assert np.isnan(float(bad[0]))
+    # clamped table: both methods agree
+    fp_c = jnp.asarray([-1e4, 1.0, 2.0, 3.0])
+    a = ops.interp_unit_spaced(x, 0.0, 1.0, fp_c, method="matmul")
+    np.testing.assert_allclose(float(a[0]), 2.5)
