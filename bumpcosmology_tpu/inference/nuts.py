@@ -123,6 +123,10 @@ def _leapfrog(value_and_grad, theta, p, grad, eps, cov):
     p_half = p - 0.5 * eps * grad
     theta_new = theta + eps * (cov @ p_half)
     u_new, grad_new = value_and_grad(theta_new)
+    # pin to the position dtype: a model constant can silently down/up-cast
+    # the potential's return, which would break fixed-shape loop carries
+    u_new = u_new.astype(theta.dtype)
+    grad_new = grad_new.astype(theta.dtype)
     p_new = p_half - 0.5 * eps * grad_new
     return theta_new, p_new, u_new, grad_new
 
@@ -284,6 +288,9 @@ def nuts_transition(
     value_and_grad = jax.value_and_grad(potential_fn)
     dim = state.theta.shape[0]
     dtype = state.theta.dtype
+    state = ChainState(
+        theta=state.theta, u=state.u.astype(dtype), grad=state.grad.astype(dtype)
+    )
 
     key, k_mom = jax.random.split(key)
     p0 = _sample_momentum(k_mom, chol_cov, dim, dtype)
@@ -557,7 +564,9 @@ _CHUNK = 10
 
 def _init_chain_state(potential_fn, theta0):
     u, grad = jax.value_and_grad(potential_fn)(theta0)
-    return ChainState(theta=theta0, u=u, grad=grad)
+    return ChainState(
+        theta=theta0, u=u.astype(theta0.dtype), grad=grad.astype(theta0.dtype)
+    )
 
 
 @partial(jax.jit, static_argnames=("potential_fn",))
@@ -729,6 +738,7 @@ def run_sampling(
         stats_chunks.append(stats)
         done += n
         if progress is not None:
+            jax.block_until_ready(state.theta)  # report real execution progress
             progress(done, num_samples)
 
     thetas = jnp.concatenate(theta_chunks, axis=0)
