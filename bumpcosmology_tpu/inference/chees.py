@@ -1,0 +1,265 @@
+"""ChEES-HMC: jittered fixed-length HMC with cross-chain trajectory adaptation.
+
+A TPU-optimized alternative to NUTS (Hoffman, Radul & Sountsov 2021,
+"An Adaptive-MCMC Scheme for Setting Trajectory Lengths in Hamiltonian Monte
+Carlo").  Where NUTS builds per-chain variable-depth trees — which under
+``vmap`` run in lockstep at the *deepest* chain's cost — ChEES-HMC runs every
+chain for the same jittered number of leapfrog steps each iteration and
+adapts the trajectory length T by stochastic gradient ascent on the
+Change-in-the-Estimator-of-the-Expected-Square criterion
+
+    ChEES = E[ ( ||θ' − E θ'||² − ||θ − E θ||² )² ] / 4,
+
+whose gradient is estimated *across the vectorized chain batch* — exactly the
+regime (tens to hundreds of chains per chip) this framework targets.
+
+Shared across chains: step size (dual averaging on the mean accept
+probability), trajectory length, and the dense mass matrix (pooled Welford,
+as in ``NutsConfig.shared_mass``).  Per iteration the leapfrog count is
+``ceil(u_k · T / eps)`` with ``u_k`` a Halton-sequence jitter shared by all
+chains, so one compiled program serves every iteration via a
+``fori_loop`` with a traced bound.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bumpcosmology_tpu.inference.nuts import (
+    ChainState,
+    WarmupResult,
+    _batched_welford_init,
+    _da_init,
+    _da_update,
+    _init_chain_state,
+    _kinetic,
+    _leapfrog,
+    _pool_welford,
+    _sample_momentum,
+    _welford_cov,
+    _welford_update,
+    warmup_schedule,
+)
+
+__all__ = ["CheesConfig", "CheesResult", "run_chees"]
+
+
+class CheesConfig(NamedTuple):
+    target_accept: float = 0.75
+    init_trajectory_length: float = 1.0
+    # Adam-style updates on log T (paper defaults)
+    adam_lr: float = 0.025
+    adam_b1: float = 0.9
+    adam_b2: float = 0.95
+    max_leapfrogs: int = 1000
+    da_gamma: float = 0.05
+    da_t0: float = 10.0
+    da_kappa: float = 0.75
+    # alias so _da_update can be shared with the NUTS config
+    @property
+    def max_depth(self):  # pragma: no cover - unused, API symmetry
+        return 0
+
+
+class _AdamState(NamedTuple):
+    log_t: jnp.ndarray
+    m: jnp.ndarray
+    v: jnp.ndarray
+    count: jnp.ndarray
+
+
+def _halton(i: int, base: int = 2) -> float:
+    """i-th element of the base-2 Halton sequence in (0, 1)."""
+    f, r = 1.0, 0.0
+    i = int(i) + 1
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def _hmc_step(value_and_grad, state: ChainState, eps, n_steps, cov, chol, key):
+    """One fixed-length HMC proposal for a single chain; returns the new state,
+    the accept probability, and (θ', p') for the ChEES gradient."""
+    dim = state.theta.shape[0]
+    dtype = state.theta.dtype
+    k_mom, k_acc = jax.random.split(key)
+    p0 = _sample_momentum(k_mom, chol, dim, dtype)
+    h0 = state.u + _kinetic(p0, cov)
+
+    theta, p, u, grad = jax.lax.fori_loop(
+        0,
+        n_steps,
+        lambda i, c: _leapfrog(value_and_grad, c[0], c[1], c[3], eps, cov),
+        (state.theta, p0, state.u, state.grad),
+    )
+    h1 = u + _kinetic(p, cov)
+    h1 = jnp.where(jnp.isnan(h1), jnp.inf, h1)
+    accept_prob = jnp.exp(jnp.minimum(h0 - h1, 0.0))
+    take = jax.random.uniform(k_acc, dtype=dtype) < accept_prob
+    new = ChainState(
+        theta=jnp.where(take, theta, state.theta),
+        u=jnp.where(take, u, state.u),
+        grad=jnp.where(take, grad, state.grad),
+    )
+    return new, accept_prob, theta, p
+
+
+@partial(jax.jit, static_argnames=("potential_fn",))
+def _chees_iteration(potential_fn, state, eps, n_steps, cov, chol, adam, da, wf, key, cfg_tuple):
+    """One adaptation iteration: batched HMC step + ChEES log-T update +
+    dual-averaging eps update + Welford update."""
+    (target_accept, lr, b1, b2, da_gamma, da_t0, da_kappa) = cfg_tuple
+    nchains = state.theta.shape[0]
+    vag = jax.value_and_grad(potential_fn)
+    keys = jax.random.split(key, nchains)
+
+    new_state, accept, theta_prop, p_prop = jax.vmap(
+        lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
+    )(state, keys)
+
+    # --- ChEES gradient estimate over the chain batch (paper eq. 14) ------
+    mean_old = jnp.mean(state.theta, axis=0)
+    mean_prop = jnp.mean(theta_prop, axis=0)
+    d_old = state.theta - mean_old
+    d_prop = theta_prop - mean_prop
+    delta = jnp.sum(d_prop * d_prop, axis=1) - jnp.sum(d_old * d_old, axis=1)
+    proj = jnp.sum(d_prop * p_prop, axis=1)
+    w = accept / jnp.maximum(jnp.sum(accept), 1e-6)
+    grad_t = jnp.sum(w * delta * proj)
+
+    # --- Adam on log T ----------------------------------------------------
+    count = adam.count + 1.0
+    m = b1 * adam.m + (1 - b1) * grad_t
+    v = b2 * adam.v + (1 - b2) * grad_t * grad_t
+    m_hat = m / (1 - b1**count)
+    v_hat = v / (1 - b2**count)
+    log_t = adam.log_t + lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+    new_adam = _AdamState(log_t=log_t, m=m, v=v, count=count)
+
+    # --- shared dual averaging on the mean accept --------------------------
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+
+    da_cfg = NutsConfig(target_accept=target_accept, da_gamma=da_gamma, da_t0=da_t0, da_kappa=da_kappa)
+    new_da = _da_update(da, jnp.mean(accept), da_cfg)
+
+    wf = jax.vmap(_welford_update)(wf, new_state.theta)
+    return new_state, new_adam, new_da, wf, jnp.mean(accept)
+
+
+@partial(jax.jit, static_argnames=("potential_fn", "n_iters"))
+def _chees_sample_chunk(potential_fn, state, eps, n_steps, cov, chol, key, n_iters: int):
+    nchains = state.theta.shape[0]
+    vag = jax.value_and_grad(potential_fn)
+
+    def step(state, step_key):
+        keys = jax.random.split(step_key, nchains)
+        new_state, accept, _, _ = jax.vmap(
+            lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
+        )(state, keys)
+        return new_state, (new_state.theta, accept)
+
+    state, (thetas, accepts) = jax.lax.scan(step, state, jax.random.split(key, n_iters))
+    return state, thetas, accepts
+
+
+class CheesResult(NamedTuple):
+    thetas: jnp.ndarray  # (chains, draws, dim)
+    accept: jnp.ndarray  # (chains, draws)
+    eps: jnp.ndarray
+    trajectory_length: jnp.ndarray
+    n_leapfrog: int
+    warm: WarmupResult
+
+
+def run_chees(
+    potential_fn: Callable,
+    theta0: jnp.ndarray,  # (chains, dim)
+    key: jnp.ndarray,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    cfg: CheesConfig = CheesConfig(),
+    verbose: bool = False,
+) -> CheesResult:
+    """Adaptive ChEES-HMC: shared eps/T/mass adaptation, then fixed sampling."""
+    nchains, dim = theta0.shape
+    dtype = theta0.dtype
+
+    state = jax.vmap(lambda th: _init_chain_state(potential_fn, th))(theta0)
+    cov = jnp.broadcast_to(jnp.eye(dim, dtype=dtype), (nchains, dim, dim))
+    chol = cov
+    da = _da_init(jnp.asarray(0.1, dtype), dtype)
+    adam = _AdamState(
+        log_t=jnp.log(jnp.asarray(cfg.init_trajectory_length, dtype)),
+        m=jnp.asarray(0.0, dtype),
+        v=jnp.asarray(0.0, dtype),
+        count=jnp.asarray(0.0, dtype),
+    )
+    wf = _batched_welford_init(nchains, dim, dtype)
+    cfg_tuple = (
+        cfg.target_accept, cfg.adam_lr, cfg.adam_b1, cfg.adam_b2,
+        cfg.da_gamma, cfg.da_t0, cfg.da_kappa,
+    )
+
+    it = 0
+    for seg_len, update_mass in warmup_schedule(num_warmup):
+        for _ in range(seg_len):
+            key, k = jax.random.split(key)
+            eps = jnp.exp(da.log_eps)
+            t_now = float(jnp.exp(adam.log_t))
+            jitter = _halton(it)
+            n_steps = jnp.asarray(
+                int(np.clip(math.ceil(jitter * t_now / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs)),
+                jnp.int32,
+            )
+            state, adam, da, wf, acc = _chees_iteration(
+                potential_fn, state, eps, n_steps, cov, chol, adam, da, wf, k, cfg_tuple
+            )
+            it += 1
+        if update_mass:
+            pooled = _pool_welford(wf)
+            new_cov = jax.vmap(lambda w: _welford_cov(w))(pooled)
+            new_chol = jax.vmap(jnp.linalg.cholesky)(new_cov)
+            bad = bool(jnp.any(jnp.isnan(new_chol)))
+            if not bad:
+                cov, chol = new_cov, new_chol
+            da = _da_init(jnp.exp(da.log_eps), dtype)
+        wf = _batched_welford_init(nchains, dim, dtype)
+
+    eps = jnp.exp(da.log_eps_bar)
+    t_final = float(jnp.exp(adam.log_t))
+    # sampling with the mean jitter (E[u] = 1/2) as the fixed length
+    n_steps = int(np.clip(math.ceil(0.5 * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+    n_steps_traced = jnp.asarray(n_steps, jnp.int32)
+    if verbose:
+        print(f"[chees] adapted eps={float(eps):.4g} T={t_final:.4g} -> {n_steps} leapfrogs/draw")
+
+    thetas_chunks, accept_chunks = [], []
+    done = 0
+    while done < num_samples:
+        n = min(50, num_samples - done)
+        key, k = jax.random.split(key)
+        state, thetas, accepts = _chees_sample_chunk(
+            potential_fn, state, eps, n_steps_traced, cov, chol, k, n
+        )
+        thetas_chunks.append(thetas)
+        accept_chunks.append(accepts)
+        done += n
+
+    thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
+    accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+    warm = WarmupResult(state=state, eps=jnp.full((nchains,), eps, dtype), cov=cov, chol_cov=chol)
+    return CheesResult(
+        thetas=thetas,
+        accept=accepts,
+        eps=eps,
+        trajectory_length=jnp.asarray(t_final),
+        n_leapfrog=n_steps,
+        warm=warm,
+    )

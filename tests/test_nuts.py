@@ -199,3 +199,24 @@ def test_finite_prior_init_redraws():
     u = jax.vmap(pot)(theta)
     assert np.all(np.isfinite(np.asarray(u)))
     assert np.all(np.asarray(theta)[:, 0] <= 0.0)
+
+
+def test_chees_hmc_gaussian_recovery():
+    """ChEES-HMC: correct moments + adapted trajectory on a correlated Gaussian."""
+    from bumpcosmology_tpu.inference.chees import CheesConfig, run_chees
+
+    rho = 0.7
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]])).astype(np.float32)
+
+    def potential(theta):
+        return 0.5 * theta @ jnp.asarray(prec) @ theta
+
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
+    res = run_chees(potential, theta0, jax.random.PRNGKey(1), num_warmup=400, num_samples=400)
+    x = np.asarray(res.thetas).reshape(-1, 2)
+    emp = np.cov(x.T)
+    np.testing.assert_allclose(emp[0, 0], 1.0, atol=0.2)
+    np.testing.assert_allclose(emp[0, 1], rho, atol=0.2)
+    assert 0.4 < float(np.asarray(res.accept).mean()) <= 1.0
+    assert res.n_leapfrog >= 1
+    assert np.isfinite(float(res.trajectory_length))
