@@ -97,6 +97,7 @@ def fit(
     init_theta: Optional[jnp.ndarray] = None,
     warmup_state: Optional[WarmupResult] = None,
     mesh=None,
+    checkpoint_path: Optional[str] = None,
     verbose: bool = True,
 ) -> FitResult:
     """Run NUTS on ``spec``; returns constrained posterior + stats + states.
@@ -114,6 +115,15 @@ def fit(
     k_init, k_warm, k_sample = jax.random.split(key, 3)
 
     timings: Dict[str, float] = {}
+    if warmup_state is None and checkpoint_path is not None:
+        import os
+
+        if os.path.exists(checkpoint_path):
+            from bumpcosmology_tpu.utils.checkpoint import load_warmup
+
+            warmup_state = load_warmup(checkpoint_path)
+            if verbose:
+                print(f"[fit] resuming from warmup checkpoint {checkpoint_path}")
     if warmup_state is None:
         if init_theta is None:
             init_theta = _finite_prior_init(spec, potential, k_init, num_chains)
@@ -140,6 +150,12 @@ def fit(
         timings["warmup_s"] = time.perf_counter() - t0
         if verbose:
             print(f"[fit] warmup: {num_warmup} steps x {num_chains} chains in {timings['warmup_s']:.1f}s")
+        if checkpoint_path is not None:
+            from bumpcosmology_tpu.utils.checkpoint import save_warmup
+
+            save_warmup(checkpoint_path, warm)
+            if verbose:
+                print(f"[fit] warmup checkpoint saved to {checkpoint_path}")
     else:
         warm = warmup_state
 

@@ -226,6 +226,47 @@ def _stage_mock_year_samples(cfg: PipelineConfig):
     write_table(cfg.paths.path("mock_year_samples.h5"), cat)
 
 
+def _stage_mock_fit_inputs(cfg: PipelineConfig):
+    """Convert mock-universe artifacts into fit inputs (pe-samples.h5 +
+    selection-samples.h5), closing the fully synthetic loop:
+
+        mock_injections -> mock_observations -> mock_year_samples
+                        -> mock_fit_inputs -> sample / sample_cosmo
+
+    The reference never wires its mock branch into the fits (SURVEY.md §4 —
+    the mock catalog was only eyeballed); here it is a first-class path, and
+    the selection set uses the same noisy detection criterion as the catalog
+    (an independent noise realization estimates the over-noise detection
+    probability).
+    """
+    import numpy as np
+
+    from bumpcosmology_tpu.mock import add_observation_noise
+
+    rng = np.random.default_rng(cfg.ingest.sel_seed)
+    inj = read_table(cfg.paths.path("mock_injections.h5"), key="true_parameters")
+    cat = read_table(cfg.paths.path("mock_year_samples.h5"))
+    write_table(cfg.paths.path("pe-samples.h5"), cat)
+
+    det = add_observation_noise(inj, seed=cfg.mock.observation_seed + 1,
+                                threshold=cfg.mock.detection_snr)
+    nsel = min(cfg.ingest.nsamp_sel, len(det))
+    pick = rng.choice(len(det), size=nsel, replace=False)
+    sel = det.iloc[pick]
+    ndraw = float(len(inj)) * (nsel / len(det))
+    df = pd.DataFrame(
+        {
+            "m1": sel["m1"].to_numpy(),
+            "q": sel["q"].to_numpy(),
+            "z": sel["z"].to_numpy(),
+            "pdraw": sel["pdraw_mqz"].to_numpy(),
+            "ndraw": ndraw,
+        }
+    )
+    write_table(cfg.paths.path("selection-samples.h5"), df)
+    print(f"[mock_fit_inputs] {cat['evt'].nunique()} events, {nsel} selection samples")
+
+
 def _stage_sbc(cfg: PipelineConfig):
     """Simulation-based calibration suite -> sbc_ranks.h5 (ranks + p-values).
 
@@ -318,6 +359,13 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 inputs=[p("mock_injections.h5")],
                 outputs=[p("mock_observations.h5")],
                 after=["mock_injections"],
+            ),
+            Stage(
+                "mock_fit_inputs",
+                lambda: _stage_mock_fit_inputs(cfg),
+                inputs=[p("mock_injections.h5"), p("mock_year_samples.h5")],
+                outputs=[p("pe-samples.h5"), p("selection-samples.h5")],
+                after=["mock_year_samples"],
             ),
             Stage(
                 "sbc",
