@@ -1,0 +1,130 @@
+"""Pallas kernel: fused waveform-amplitude / PSD / trapezoid SNR integral.
+
+The injection campaign's hot loop evaluates ∫ A(f)² / S_n(f) df for 10⁷
+injections.  The XLA path materializes the (chunk, n_f) integrand in HBM
+(~134 MB per 65k-injection chunk at n_f = 512) — bandwidth dominated.  This
+kernel computes each injection tile's amplitude, squares it against the
+(replicated, VMEM-resident) inverse PSD and reduces with the trapezoid rule
+entirely in VMEM: HBM traffic drops to the O(batch) inputs/outputs.
+
+The frequency grid is uniform in log f, so both the grid and the trapezoid
+weights are closed-form inside the kernel; only ``inv_psd`` (n_f floats) is
+passed in.  No gradients are needed (the campaign is simulation, not
+inference), so no custom VJP.
+
+Used by :func:`bumpcosmology_tpu.mock.snr.network_snr` when
+``use_pallas=True`` (TPU only); the XLA path remains the reference
+implementation and the two are cross-checked in tests (interpret mode on
+CPU).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bumpcosmology_tpu.mock.waveform import C_SI, GPC_M, MSUN_S, _FCUT, _FMERG, _FRING, _SIGMA
+
+__all__ = ["snr_integral_pallas"]
+
+_TILE = 256  # injections per kernel program
+
+
+def _amp_kernel_body(m1_ref, m2_ref, dl_ref, inv_psd_ref, out_ref, *, f_min, f_max, n_f, amp_scale):
+    """One tile: integral_i = Σ_k w_k · (amp_scale·A(f_k; i))² · inv_psd_k."""
+    m1 = m1_ref[:]  # (TILE,)
+    m2 = m2_ref[:]
+    dl = dl_ref[:]
+
+    m_total = m1 + m2
+    eta = m1 * m2 / (m_total * m_total)
+    m_total_s = m_total * MSUN_S
+    mc_s = (m1 * m2) ** 0.6 / m_total**0.2 * MSUN_S
+
+    def trans(coeffs):
+        a, b, c = coeffs
+        return (a * eta * eta + b * eta + c) / (math.pi * m_total_s)
+
+    f_merg = trans(_FMERG)[:, None]  # (TILE, 1)
+    f_ring = trans(_FRING)[:, None]
+    sigma = trans(_SIGMA)[:, None]
+    f_cut = trans(_FCUT)[:, None]
+
+    a_newt = (
+        math.sqrt(5.0 / 24.0)
+        * math.pi ** (-2.0 / 3.0)
+        * mc_s ** (5.0 / 6.0)
+        * (C_SI / (dl * GPC_M))
+    )[:, None] * amp_scale
+
+    # log-uniform frequency grid, reconstructed in-kernel
+    k = jax.lax.broadcasted_iota(jnp.float32, (1, n_f), 1)
+    log_lo = math.log(f_min)
+    dlog = (math.log(f_max) - math.log(f_min)) / (n_f - 1)
+    f = jnp.exp(log_lo + dlog * k)  # (1, n_f)
+
+    x = f / f_merg
+    insp = x ** (-7.0 / 6.0)
+    merg = x ** (-2.0 / 3.0)
+    hw = 0.5 * sigma
+    lor = hw * hw / ((f - f_ring) ** 2 + hw * hw)
+    ring = (f_ring / f_merg) ** (-2.0 / 3.0) * lor
+    shape = jnp.where(f < f_merg, insp, jnp.where(f < f_ring, merg, ring))
+    shape = jnp.where(f >= f_cut, 0.0, shape)
+    amp = a_newt * f_merg ** (-7.0 / 6.0) * shape  # (TILE, n_f)
+
+    integrand = amp * amp * inv_psd_ref[:]  # inv_psd broadcast (1, n_f)
+    # trapezoid on the log-uniform grid: df_k = f_{k+1} - f_k; weights
+    # w_0 = df_0/2, w_k = (df_{k-1}+df_k)/2, w_last = df_last/2
+    # closed form: df_k = f_k (e^dlog - 1); use w_k = c·f_k with end fixes
+    c_mid = 0.5 * (math.exp(dlog) - math.exp(-dlog))
+    w = c_mid * f
+    w_first = 0.5 * (math.exp(dlog) - 1.0) * f
+    w_last = 0.5 * (1.0 - math.exp(-dlog)) * f
+    is_first = k == 0
+    is_last = k == (n_f - 1)
+    w = jnp.where(is_first, w_first, jnp.where(is_last, w_last, w))
+    out_ref[:] = jnp.sum(integrand * w, axis=1)
+
+
+@partial(jax.jit, static_argnames=("f_min", "f_max", "n_f", "amp_scale", "interpret"))
+def snr_integral_pallas(
+    m1_det,
+    m2_det,
+    dl_gpc,
+    inv_psd,
+    f_min: float = 10.0,
+    f_max: float = 2048.0,
+    n_f: int = 512,
+    amp_scale: float = 1e23,
+    interpret: bool = False,
+):
+    """∫ (amp_scale·A)² · inv_psd df for a batch of injections (padded to a
+    tile multiple internally).  ``inv_psd`` is (n_f,) in scaled units."""
+    n = m1_det.shape[0]
+    n_pad = (-n) % _TILE
+    pad = lambda x: jnp.pad(x.astype(jnp.float32), (0, n_pad), constant_values=1.0)
+    m1p, m2p, dlp = pad(m1_det), pad(m2_det), pad(dl_gpc)
+    inv_psd = inv_psd.astype(jnp.float32).reshape(1, n_f)
+
+    grid = ((n + n_pad) // _TILE,)
+    out = pl.pallas_call(
+        partial(
+            _amp_kernel_body, f_min=f_min, f_max=f_max, n_f=n_f, amp_scale=amp_scale
+        ),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad,), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_f), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_TILE,), lambda i: (i,), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(m1p, m2p, dlp, inv_psd)
+    return out[:n]

@@ -55,30 +55,53 @@ def network_snr(
     gmst,
     f_grid,
     detectors: Sequence[str] = ("H1", "L1", "V1"),
+    use_pallas: bool = False,
 ):
     """Per-detector and network SNR for a batch of injections.
 
     All source arguments shaped (batch,); returns dict with per-detector SNRs
     and ``net`` = sqrt(sum of squares) (cf. ``mock_injections.py:63-79``).
-    """
-    amp = AMP_SCALE * phenom_a_amplitude(
-        f_grid[None, :], m1_det[:, None], m2_det[:, None], dl_gpc[:, None]
-    )
-    amp2 = amp * amp  # (batch, nf), in units of 1/PSD_SCALE
 
+    All design PSDs here share one spectral *shape* (V1 is an
+    amplitude-rescaled aLIGO curve, :mod:`bumpcosmology_tpu.mock.psd`), so the
+    expensive frequency integral ∫A²/S df is computed **once** per injection
+    and per-detector SNRs differ only by the antenna projection and a scalar
+    PSD ratio — 3× less bandwidth than integrating per detector.
+    """
     ci = jnp.cos(iota)
     plus_fac = (0.5 * (1.0 + ci * ci)) ** 2
     cross_fac = ci * ci
 
-    df = jnp.diff(f_grid)
+    # one reference integral against the aLIGO-shape PSD
+    inv_s = 1.0 / PSDS["H1"](f_grid)
+    if use_pallas:
+        from bumpcosmology_tpu.mock.pallas_snr import snr_integral_pallas
+
+        integral = snr_integral_pallas(
+            m1_det, m2_det, dl_gpc, inv_s,
+            f_min=float(f_grid[0]), f_max=float(f_grid[-1]), n_f=f_grid.shape[0],
+            amp_scale=AMP_SCALE,
+        )
+    else:
+        amp = AMP_SCALE * phenom_a_amplitude(
+            f_grid[None, :], m1_det[:, None], m2_det[:, None], dl_gpc[:, None]
+        )
+        df = jnp.diff(f_grid)
+        integrand = amp * amp * inv_s[None, :]
+        integral = jnp.sum(
+            0.5 * df[None, :] * (integrand[:, 1:] + integrand[:, :-1]), axis=1
+        )
+
+    # per-detector scalar PSD ratios relative to the reference shape
+    f_probe = jnp.asarray([100.0])
+    ref = PSDS["H1"](f_probe)[0]
     out = {}
     net2 = 0.0
     for det in detectors:
+        scale = ref / PSDS[det](f_probe)[0]  # 1 for H1/L1, 0.55^2 for V1
         fp, fc = antenna_pattern(DETECTORS[det], ra, dec, psi, gmst)
         proj = fp * fp * plus_fac + fc * fc * cross_fac  # (batch,)
-        integrand = amp2 / PSDS[det](f_grid)[None, :]  # (batch, nf)
-        integral = jnp.sum(0.5 * df[None, :] * (integrand[:, 1:] + integrand[:, :-1]), axis=1)
-        rho2 = 4.0 * proj * integral
+        rho2 = 4.0 * proj * integral * scale
         out[det] = jnp.sqrt(rho2)
         net2 = net2 + rho2
     out["net"] = jnp.sqrt(net2)

@@ -245,3 +245,30 @@ def test_mock_pe_samples_source_frame_prior():
     # m1_det = m1_src (1+z) should scatter around exp(log_mc_obs)/(q-factor)
     mc_det = m1 * (1 + z) * q**0.6 / (1 + q) ** 0.2
     np.testing.assert_allclose(np.median(mc_det), 30.0, rtol=0.05)
+
+
+def test_pallas_snr_integral_matches_xla():
+    """Fused Pallas SNR integral (interpret mode on CPU) vs the XLA path."""
+    from bumpcosmology_tpu.mock.pallas_snr import snr_integral_pallas
+    from bumpcosmology_tpu.mock.psd import PSDS
+    from bumpcosmology_tpu.mock.snr import AMP_SCALE
+
+    rng = np.random.default_rng(21)
+    n = 300
+    m1 = jnp.asarray(rng.uniform(10, 80, n), jnp.float32)
+    m2 = m1 * jnp.asarray(rng.uniform(0.4, 1.0, n), jnp.float32)
+    dl = jnp.asarray(rng.uniform(0.3, 5.0, n), jnp.float32)
+
+    f_grid = frequency_grid()
+    inv_s = 1.0 / PSDS["H1"](f_grid)
+    amp = AMP_SCALE * phenom_a_amplitude(f_grid[None, :], m1[:, None], m2[:, None], dl[:, None])
+    df = jnp.diff(f_grid)
+    integrand = amp * amp * inv_s[None, :]
+    want = np.asarray(
+        jnp.sum(0.5 * df[None, :] * (integrand[:, 1:] + integrand[:, :-1]), axis=1)
+    )
+
+    got = np.asarray(
+        snr_integral_pallas(m1, m2, dl, inv_s, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=1e-6)
