@@ -1,0 +1,141 @@
+"""Utils (trace/io/checkpoint/profiling) and figure-generation smoke tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from bumpcosmology_tpu.utils.checkpoint import load_warmup, save_warmup
+from bumpcosmology_tpu.utils.io import read_table, write_table
+from bumpcosmology_tpu.utils.trace import Trace, load_trace, save_trace
+
+
+def test_table_roundtrip(tmp_path):
+    df = pd.DataFrame(
+        {
+            "m1": np.linspace(5, 50, 10),
+            "q": np.linspace(0.1, 1.0, 10),
+            "evt": [f"GW_{i:02d}" for i in range(10)],
+        }
+    )
+    p = tmp_path / "t.h5"
+    write_table(p, df)
+    back = read_table(p)
+    assert list(back.columns) == ["m1", "q", "evt"]
+    np.testing.assert_allclose(back["m1"], df["m1"])
+    assert list(back["evt"]) == list(df["evt"])
+
+
+def test_trace_roundtrip_and_summary(tmp_path):
+    rng = np.random.default_rng(0)
+    tr = Trace(
+        posterior={"h": rng.normal(0.7, 0.01, size=(4, 100)), "curve": rng.normal(size=(4, 100, 8))},
+        sample_stats={"accept_prob": rng.uniform(size=(4, 100))},
+        coords={"m_grid": np.linspace(5, 150, 8)},
+        attrs={"model": "pop"},
+    )
+    p = tmp_path / "trace.h5"
+    save_trace(p, tr)
+    back = load_trace(p)
+    np.testing.assert_allclose(back.posterior["h"], tr.posterior["h"])
+    assert back.posterior["curve"].shape == (4, 100, 8)
+    assert back.attrs["model"] == "pop"
+    s = back.summary()
+    assert "h" in s and "curve" not in s
+    assert abs(s["h"]["mean"] - 0.7) < 0.01
+    assert back.stacked("curve").shape == (400, 8)
+
+
+def test_warmup_checkpoint_roundtrip(tmp_path):
+    from bumpcosmology_tpu.inference.nuts import ChainState, WarmupResult
+
+    warm = WarmupResult(
+        state=ChainState(
+            theta=jnp.ones((2, 3)), u=jnp.ones(2), grad=jnp.zeros((2, 3))
+        ),
+        eps=jnp.asarray([0.1, 0.2]),
+        cov=jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+        chol_cov=jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+    )
+    p = tmp_path / "warm.npz"
+    save_warmup(p, warm)
+    back = load_warmup(p)
+    np.testing.assert_allclose(np.asarray(back.eps), [0.1, 0.2])
+    np.testing.assert_allclose(np.asarray(back.state.theta), np.ones((2, 3)))
+
+
+def test_phase_timer_and_xla_cost():
+    from bumpcosmology_tpu.utils.profiling import PhaseTimer, xla_cost
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        _ = sum(range(1000))
+    with t.phase("b"):
+        _ = sum(range(1000))
+    rep = t.report()
+    assert "a" in rep and "total" in rep
+
+    cost = xla_cost(lambda x: jnp.sum(x @ x), jnp.ones((64, 64)))
+    assert cost["flops"] > 0
+
+
+def test_all_eight_figures_render(tmp_path):
+    """Every figure function produces a file from framework-format inputs."""
+    from bumpcosmology_tpu.figures.plots import FIGURES
+    from bumpcosmology_tpu.models.population import COORDS
+
+    rng = np.random.default_rng(1)
+    nc, nd = 2, 50
+
+    # traces
+    post = {
+        k: rng.normal(loc, scale, size=(nc, nd))
+        for k, (loc, scale) in {
+            "h": (0.7, 0.05), "Om": (0.3, 0.05), "w": (-1.0, 0.1),
+            "mpisn": (31, 2), "mbhmax": (36, 2), "sigma": (2.3, 0.4),
+        }.items()
+    }
+    post["mdNdmdVdt_fixed_qz"] = np.abs(rng.normal(1.0, 0.2, size=(nc, nd, 128)))
+    tr = Trace(post, coords=COORDS)
+    save_trace(tmp_path / "trace.h5", tr)
+    save_trace(tmp_path / "trace_cosmo.h5", tr)
+
+    # pe-samples table
+    frames = []
+    for e in range(4):
+        frames.append(pd.DataFrame({
+            "m1": rng.uniform(10, 60, 64),
+            "q": rng.uniform(0.3, 1.0, 64),
+            "z": rng.uniform(0.05, 1.0, 64),
+            "wt": rng.uniform(0.5, 2.0, 64),
+            "evt": f"GW_{e}",
+        }))
+    write_table(tmp_path / "pe-samples.h5", pd.concat(frames, ignore_index=True))
+
+    # mock observations table
+    obs = pd.DataFrame({
+        "m1": rng.uniform(10, 60, 30),
+        "q": rng.uniform(0.3, 1.0, 30),
+        "z": rng.uniform(0.05, 1.0, 30),
+        "log_mc_obs": rng.normal(3.3, 0.2, 30),
+        "sigma_log_mc": np.full(30, 0.05),
+        "q_obs": rng.uniform(0.4, 0.95, 30),
+        "sigma_q": np.full(30, 0.07),
+        "log_dl_obs": rng.normal(0.0, 0.3, 30),
+        "sigma_log_dl": np.full(30, 0.2),
+    })
+    write_table(tmp_path / "mock_observations.h5", obs, key="observations")
+
+    artifacts = {
+        "trace.h5": tmp_path / "trace.h5",
+        "trace_cosmo.h5": tmp_path / "trace_cosmo.h5",
+        "pe-samples.h5": tmp_path / "pe-samples.h5",
+        "mock_observations.h5": tmp_path / "mock_observations.h5",
+    }
+    for name, (fn, artifact) in FIGURES.items():
+        out = tmp_path / f"{name}.png"
+        if artifact is None:
+            result = fn(out=out)
+        else:
+            result = fn(artifacts[artifact], out=out)
+        assert result.exists() and result.stat().st_size > 1000, name
