@@ -86,6 +86,42 @@ def compute_deterministics(
     }
 
 
+def _fit_chees(spec, potential, k_init, k_run, num_warmup, num_samples, num_chains,
+               deterministics_fn, verbose):
+    """ChEES-HMC backend for :func:`fit` (fixed-length jittered HMC with
+    cross-chain trajectory adaptation — see inference.chees)."""
+    from bumpcosmology_tpu.inference.chees import run_chees
+
+    timings: Dict[str, float] = {}
+    init_theta = _finite_prior_init(spec, potential, k_init, num_chains)
+    t0 = time.perf_counter()
+    res = run_chees(
+        potential, init_theta, k_run, num_warmup=num_warmup, num_samples=num_samples,
+        verbose=verbose,
+    )
+    jax.block_until_ready(res.thetas)
+    timings["sampling_s"] = time.perf_counter() - t0
+
+    posterior = {name: np.asarray(v) for name, v in constrain(spec, res.thetas).items()}
+    sample_stats = {
+        "accept_prob": np.asarray(res.accept),
+        "n_leapfrog": np.full_like(np.asarray(res.accept), res.n_leapfrog),
+    }
+    if deterministics_fn is not None:
+        posterior.update(compute_deterministics(spec, res.thetas, deterministics_fn))
+    if verbose:
+        total = num_chains * num_samples
+        print(f"[fit/chees] {total} draws in {timings['sampling_s']:.1f}s "
+              f"({res.n_leapfrog} leapfrogs/draw, eps={float(res.eps):.4g})")
+    return FitResult(
+        posterior=posterior,
+        sample_stats=sample_stats,
+        warmup_state=res.warm,
+        final_state=res.warm,
+        timings=timings,
+    )
+
+
 def fit(
     spec: ModelSpec,
     key: jnp.ndarray,
@@ -98,6 +134,7 @@ def fit(
     warmup_state: Optional[WarmupResult] = None,
     mesh=None,
     checkpoint_path: Optional[str] = None,
+    sampler: str = "nuts",
     verbose: bool = True,
 ) -> FitResult:
     """Run NUTS on ``spec``; returns constrained posterior + stats + states.
@@ -113,6 +150,14 @@ def fit(
     """
     potential = make_potential(spec)
     k_init, k_warm, k_sample = jax.random.split(key, 3)
+
+    if sampler == "chees":
+        return _fit_chees(
+            spec, potential, k_init, k_warm, num_warmup, num_samples, num_chains,
+            deterministics_fn, verbose,
+        )
+    if sampler != "nuts":
+        raise ValueError(f"unknown sampler {sampler!r}; use 'nuts' or 'chees'")
 
     timings: Dict[str, float] = {}
     if warmup_state is None and checkpoint_path is not None:

@@ -220,3 +220,19 @@ def test_chees_hmc_gaussian_recovery():
     assert 0.4 < float(np.asarray(res.accept).mean()) <= 1.0
     assert res.n_leapfrog >= 1
     assert np.isfinite(float(res.trajectory_length))
+
+
+def test_fit_with_chees_sampler():
+    from bumpcosmology_tpu.inference.sampler import fit
+    from bumpcosmology_tpu.testing import synthetic_pop_data
+    from bumpcosmology_tpu.inference.likelihoods import pop_model_spec
+
+    data = synthetic_pop_data(nobs=4, nsamp=16, nsel=32, seed=0)
+    spec = pop_model_spec(data, n_grid=64)
+    res = fit(
+        spec, jax.random.PRNGKey(0), num_warmup=50, num_samples=30,
+        num_chains=4, sampler="chees", verbose=False,
+    )
+    assert res.posterior["a"].shape == (4, 30)
+    assert np.isfinite(res.posterior["a"]).all()
+    assert 0.0 < res.sample_stats["accept_prob"].mean() <= 1.0
