@@ -659,12 +659,17 @@ def run_warmup(
     num_warmup: int,
     cfg: NutsConfig = NutsConfig(),
     progress: Optional[Callable[[int, int, float], None]] = None,
+    chunk_size: Optional[int] = None,
 ):
     """Windowed warmup for a batch of chains (each adapts independently,
     matching the reference's per-chain numpyro adaptation).
 
     ``progress(step, num_warmup, mean_accept)`` is called after every chunk.
+    ``chunk_size`` bounds the steps per XLA execution (default ``_CHUNK``);
+    wide chain batches on deadline-limited remote TPUs need smaller chunks
+    since every chain in the batch runs each step in lockstep.
     """
+    chunk = chunk_size or _CHUNK
     nchains, dim = theta0.shape
     dtype = theta0.dtype
 
@@ -679,7 +684,7 @@ def run_warmup(
     for n_steps, update_mass in warmup_schedule(num_warmup):
         done = 0
         while done < n_steps:
-            n = min(_CHUNK, n_steps - done)
+            n = min(chunk, n_steps - done)
             chunk_key, k = jax.random.split(chunk_key)
             state, da, wf, accept = _warmup_chunk(
                 potential_fn, state, cov, chol, da, wf, k, n, cfg

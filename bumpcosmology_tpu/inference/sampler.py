@@ -135,6 +135,7 @@ def fit(
     mesh=None,
     checkpoint_path: Optional[str] = None,
     sampler: str = "nuts",
+    warmup_chunk_size: Optional[int] = None,
     verbose: bool = True,
 ) -> FitResult:
     """Run NUTS on ``spec``; returns constrained posterior + stats + states.
@@ -190,7 +191,10 @@ def fit(
                         f"(accept {accept:.2f}, {time.perf_counter() - t0:.0f}s)",
                         flush=True,
                     )
-        warm, _ = run_warmup(potential, init_theta, k_warm, num_warmup, cfg, progress=progress)
+        warm, _ = run_warmup(
+            potential, init_theta, k_warm, num_warmup, cfg,
+            progress=progress, chunk_size=warmup_chunk_size,
+        )
         jax.block_until_ready(warm.state.theta)
         timings["warmup_s"] = time.perf_counter() - t0
         if verbose:
