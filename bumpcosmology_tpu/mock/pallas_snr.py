@@ -31,7 +31,7 @@ from bumpcosmology_tpu.mock.waveform import C_SI, GPC_M, MSUN_S, _FCUT, _FMERG, 
 
 __all__ = ["snr_integral_pallas"]
 
-_TILE = 256  # injections per kernel program
+_TILE = 1024  # injections per program; 1-D f32 operands tile as T(1024) in XLA
 
 
 def _amp_kernel_body(m1_ref, m2_ref, dl_ref, inv_psd_ref, out_ref, *, f_min, f_max, n_f, amp_scale):
@@ -62,7 +62,8 @@ def _amp_kernel_body(m1_ref, m2_ref, dl_ref, inv_psd_ref, out_ref, *, f_min, f_m
     )[:, None] * amp_scale
 
     # log-uniform frequency grid, reconstructed in-kernel
-    k = jax.lax.broadcasted_iota(jnp.float32, (1, n_f), 1)
+    # TPU iota must be integer-typed; cast after
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, n_f), 1).astype(jnp.float32)
     log_lo = math.log(f_min)
     dlog = (math.log(f_max) - math.log(f_min)) / (n_f - 1)
     f = jnp.exp(log_lo + dlog * k)  # (1, n_f)
