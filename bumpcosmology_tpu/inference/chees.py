@@ -242,8 +242,11 @@ def run_chees(
 
     thetas_chunks, accept_chunks = [], []
     done = 0
+    # bound the per-execution leapfrog budget (remote-TPU executions are
+    # deadline-limited; see nuts._CHUNK rationale)
+    iters_per_chunk = max(1, min(50, 2000 // max(n_steps, 1)))
     while done < num_samples:
-        n = min(50, num_samples - done)
+        n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)
         state, thetas, accepts = _chees_sample_chunk(
             potential_fn, state, eps, n_steps_traced, cov, chol, k, n
