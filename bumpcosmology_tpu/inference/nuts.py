@@ -719,6 +719,49 @@ def _sample_chunk(potential_fn, state, eps, cov, chol, key, n_steps: int, cfg: N
     return state, thetas, stats
 
 
+def _sampling_ckpt_file(checkpoint_path: str) -> str:
+    from bumpcosmology_tpu.utils.checkpoint import checkpoint_file
+
+    return checkpoint_file(checkpoint_path)[: -len(".npz")] + ".sampling.npz"
+
+
+def _save_sampling_ckpt(path, done, key, state, theta_chunks, stats_chunks):
+    import numpy as np
+
+    thetas = jnp.concatenate(theta_chunks, axis=0)
+    stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *stats_chunks)
+    payload = {
+        "done": np.asarray(done),
+        "key": np.asarray(key),
+        "state_theta": np.asarray(state.theta),
+        "state_u": np.asarray(state.u),
+        "state_grad": np.asarray(state.grad),
+        "thetas": np.asarray(thetas),
+    }
+    for name in NutsStats._fields:
+        payload["stats_" + name] = np.asarray(getattr(stats, name))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    import os
+
+    os.replace(tmp, path)
+
+
+def _load_sampling_ckpt(path):
+    import numpy as np
+
+    with np.load(path) as d:
+        state = ChainState(
+            theta=jnp.asarray(d["state_theta"]),
+            u=jnp.asarray(d["state_u"]),
+            grad=jnp.asarray(d["state_grad"]),
+        )
+        stats = NutsStats(
+            **{name: jnp.asarray(d["stats_" + name]) for name in NutsStats._fields}
+        )
+        return int(d["done"]), jnp.asarray(d["key"]), state, jnp.asarray(d["thetas"]), stats
+
+
 def run_sampling(
     potential_fn: Callable,
     warm: WarmupResult,
@@ -727,12 +770,34 @@ def run_sampling(
     cfg: NutsConfig = NutsConfig(),
     chunk_size: int = 25,
     progress: Optional[Callable[[int, int], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 4,
 ):
-    """Post-warmup sampling: returns (samples (chains, num_samples, dim), stats)."""
+    """Post-warmup sampling: returns (samples (chains, num_samples, dim), stats).
+
+    With ``checkpoint_path``, completed draw chunks persist to
+    ``<path>.sampling.npz`` every ``checkpoint_every`` chunks, so a crash (or
+    the ~60 s remote-TPU execution deadline) at draw 900/1000 resumes instead
+    of losing the phase.  The file is removed on successful completion.
+    """
+    import os
+
     state = warm.state
     theta_chunks = []
     stats_chunks = []
     done = 0
+    ckpt = _sampling_ckpt_file(checkpoint_path) if checkpoint_path is not None else None
+    if ckpt is not None and os.path.exists(ckpt):
+        done, key, state, thetas0, stats0 = _load_sampling_ckpt(ckpt)
+        if done > num_samples:  # config shrank; drop the excess
+            thetas0 = thetas0[:num_samples]
+            stats0 = jax.tree.map(lambda x: x[:num_samples], stats0)
+            done = num_samples
+        theta_chunks.append(thetas0)
+        stats_chunks.append(stats0)
+        if progress is not None:
+            progress(done, num_samples)
+    chunks_since_ckpt = 0
     while done < num_samples:
         n = min(chunk_size, num_samples - done)
         key, k = jax.random.split(key)
@@ -742,9 +807,17 @@ def run_sampling(
         theta_chunks.append(thetas)
         stats_chunks.append(stats)
         done += n
+        chunks_since_ckpt += 1
+        if ckpt is not None and (chunks_since_ckpt >= checkpoint_every or done >= num_samples):
+            jax.block_until_ready(state.theta)
+            if done < num_samples:
+                _save_sampling_ckpt(ckpt, done, key, state, theta_chunks, stats_chunks)
+            chunks_since_ckpt = 0
         if progress is not None:
             jax.block_until_ready(state.theta)  # report real execution progress
             progress(done, num_samples)
+    if ckpt is not None and os.path.exists(ckpt):
+        os.remove(ckpt)
 
     thetas = jnp.concatenate(theta_chunks, axis=0)
     stats = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *stats_chunks)

@@ -164,7 +164,9 @@ def fit(
     if warmup_state is None and checkpoint_path is not None:
         import os
 
-        if os.path.exists(checkpoint_path):
+        from bumpcosmology_tpu.utils.checkpoint import checkpoint_file
+
+        if os.path.exists(checkpoint_file(checkpoint_path)):
             from bumpcosmology_tpu.utils.checkpoint import load_warmup
 
             warmup_state = load_warmup(checkpoint_path)
@@ -218,7 +220,8 @@ def fit(
                     flush=True,
                 )
     thetas, stats, final = run_sampling(
-        potential, warm, k_sample, num_samples, cfg, progress=sample_progress
+        potential, warm, k_sample, num_samples, cfg, progress=sample_progress,
+        checkpoint_path=checkpoint_path,
     )
     jax.block_until_ready(thetas)
     timings["sampling_s"] = time.perf_counter() - t0

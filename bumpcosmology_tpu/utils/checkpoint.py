@@ -12,12 +12,23 @@ import numpy as np
 
 from bumpcosmology_tpu.inference.nuts import ChainState, WarmupResult
 
-__all__ = ["save_warmup", "load_warmup"]
+__all__ = ["checkpoint_file", "save_warmup", "load_warmup"]
+
+
+def checkpoint_file(path) -> str:
+    """The on-disk filename for a checkpoint path.
+
+    ``np.savez`` silently appends ``.npz`` to paths lacking the suffix; every
+    caller (save, load, existence checks in ``fit``) must agree on the
+    normalized name or resume never triggers.
+    """
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
 
 
 def save_warmup(path, warm: WarmupResult) -> None:
     np.savez(
-        path,
+        checkpoint_file(path),
         theta=np.asarray(warm.state.theta),
         u=np.asarray(warm.state.u),
         grad=np.asarray(warm.state.grad),
@@ -28,7 +39,7 @@ def save_warmup(path, warm: WarmupResult) -> None:
 
 
 def load_warmup(path) -> WarmupResult:
-    with np.load(path) as d:
+    with np.load(checkpoint_file(path)) as d:
         state = ChainState(
             theta=jnp.asarray(d["theta"]),
             u=jnp.asarray(d["u"]),

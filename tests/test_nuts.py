@@ -236,3 +236,83 @@ def test_fit_with_chees_sampler():
     assert res.posterior["a"].shape == (4, 30)
     assert np.isfinite(res.posterior["a"]).all()
     assert 0.0 < res.sample_stats["accept_prob"].mean() <= 1.0
+
+
+def test_sampling_checkpoint_resume(tmp_path):
+    """Mid-sampling crash recovery: interrupting after a persisted chunk and
+    re-running produces exactly the draws of an uninterrupted run."""
+    from bumpcosmology_tpu.inference.nuts import WarmupResult, run_sampling, _sampling_ckpt_file
+
+    def potential(theta):
+        return 0.5 * jnp.sum(theta**2)
+
+    dim, nchains = 2, 3
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (nchains, dim))
+    u, grad = jax.vmap(jax.value_and_grad(potential))(theta0)
+    from bumpcosmology_tpu.inference.nuts import ChainState
+
+    warm = WarmupResult(
+        state=ChainState(theta=theta0, u=u, grad=grad),
+        eps=jnp.full((nchains,), 0.5),
+        cov=jnp.broadcast_to(jnp.eye(dim), (nchains, dim, dim)),
+        chol_cov=jnp.broadcast_to(jnp.eye(dim), (nchains, dim, dim)),
+    )
+    key = jax.random.PRNGKey(7)
+    ckpt = str(tmp_path / "fitckpt")
+
+    full, full_stats, _ = run_sampling(potential, warm, key, 40, chunk_size=5)
+
+    # interrupted run: stop after 20 draws (4 chunks, checkpoint_every=2)
+    n_done = 0
+    orig_exists = None
+
+    class _Stop(Exception):
+        pass
+
+    def progress(done, total):
+        nonlocal n_done
+        n_done = done
+        if done >= 20:
+            raise _Stop
+
+    try:
+        run_sampling(
+            potential, warm, key, 40, chunk_size=5, progress=progress,
+            checkpoint_path=ckpt, checkpoint_every=2,
+        )
+    except _Stop:
+        pass
+    import os
+
+    assert os.path.exists(_sampling_ckpt_file(ckpt)), "chunk checkpoint not written"
+
+    resumed, resumed_stats, _ = run_sampling(
+        potential, warm, key, 40, chunk_size=5, checkpoint_path=ckpt, checkpoint_every=2,
+    )
+    np.testing.assert_array_equal(np.asarray(resumed), np.asarray(full))
+    np.testing.assert_array_equal(
+        np.asarray(resumed_stats.accept_prob), np.asarray(full_stats.accept_prob)
+    )
+    assert not os.path.exists(_sampling_ckpt_file(ckpt)), "checkpoint not cleaned up"
+
+
+def test_checkpoint_path_without_npz_suffix_resumes(tmp_path):
+    """fit(checkpoint_path='x.ckpt') must resume even though np.savez writes
+    x.ckpt.npz (round-1 bug: the existence check used the raw path)."""
+    from bumpcosmology_tpu.utils.checkpoint import checkpoint_file, load_warmup, save_warmup
+    from bumpcosmology_tpu.inference.nuts import ChainState, WarmupResult
+    import os
+
+    path = str(tmp_path / "warm.ckpt")  # no .npz suffix
+    dim, nchains = 2, 3
+    theta = jnp.zeros((nchains, dim))
+    warm = WarmupResult(
+        state=ChainState(theta=theta, u=jnp.zeros(nchains), grad=theta),
+        eps=jnp.full((nchains,), 0.1),
+        cov=jnp.broadcast_to(jnp.eye(dim), (nchains, dim, dim)),
+        chol_cov=jnp.broadcast_to(jnp.eye(dim), (nchains, dim, dim)),
+    )
+    save_warmup(path, warm)
+    assert os.path.exists(checkpoint_file(path))
+    loaded = load_warmup(path)
+    np.testing.assert_array_equal(np.asarray(loaded.eps), np.asarray(warm.eps))
