@@ -20,7 +20,13 @@ from bumpcosmology_tpu.inference.likelihoods import (
     make_pop_data,
 )
 
-__all__ = ["mock_pop_data", "mock_pop_cosmo_data"]
+__all__ = [
+    "mock_pop_data",
+    "mock_pop_cosmo_data",
+    "flagship_pop_cosmo_data",
+    "save_pop_cosmo_data",
+    "load_pop_cosmo_data",
+]
 
 
 def _catalog(nobs, nsamp, nsel, ndraw_campaign, threshold, seed):
@@ -81,6 +87,63 @@ def mock_pop_data(
         sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(),
         sel["pdraw_mqz"].to_numpy(), ndraw=ndraw,
     )
+
+
+def flagship_pop_cosmo_data(path=None) -> PopCosmoData:
+    """The flagship benchmark catalog: 56 events at GWTC scale with the MC
+    axes sized for *smooth* likelihood geometry.
+
+    The reference subsamples to 128 PE samples/event and 1024 injections
+    (``draw_pe_samples.py:11``, ``draw_selection_samples.py:8``) because its
+    fits run on host CPUs.  At 1024 injections the selection term
+    ``-nobs log mu_sel`` carries ~nobs/sqrt(neff_sel) ≈ 2.5 nats of smooth,
+    parameter-dependent Monte-Carlo noise — enough to carve pseudo-modes
+    into the (otherwise unimodal) posterior and stall NUTS (measured:
+    ``docs/DESIGN.md`` §5a).  On TPU the injection axis is cheap and
+    shardable, so the flagship configuration keeps 8192 injections and 256
+    samples/event (noise < 0.9 nats; the posterior is then unimodal —
+    scratch-verified with multi-start MAP probes).
+
+    With ``path`` given, the catalog round-trips through disk so CPU and TPU
+    benchmarks consume bit-identical inputs.
+    """
+    import os
+
+    if path is not None and os.path.exists(path):
+        return load_pop_cosmo_data(path)
+    data = mock_pop_cosmo_data(nobs=56, nsamp=256, nsel=8192, ndraw_campaign=2_400_000)
+    if path is not None:
+        save_pop_cosmo_data(path, data)
+    return data
+
+
+def save_pop_cosmo_data(path, data: PopCosmoData) -> None:
+    ev, sel = data.events, data.selection
+    np.savez(
+        path,
+        ev_a=np.asarray(ev.a), ev_q=np.asarray(ev.q), ev_c=np.asarray(ev.c),
+        ev_lp=np.asarray(ev.log_pdraw),
+        sel_a=np.asarray(sel.a), sel_q=np.asarray(sel.q), sel_c=np.asarray(sel.c),
+        sel_lp=np.asarray(sel.log_pdraw), sel_ln=np.asarray(sel.log_ndraw),
+    )
+
+
+def load_pop_cosmo_data(path) -> PopCosmoData:
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.inference.likelihoods import EventData, SelectionData
+
+    with np.load(path) as d:
+        ev = EventData(
+            a=jnp.asarray(d["ev_a"]), q=jnp.asarray(d["ev_q"]),
+            c=jnp.asarray(d["ev_c"]), log_pdraw=jnp.asarray(d["ev_lp"]),
+        )
+        sel = SelectionData(
+            a=jnp.asarray(d["sel_a"]), q=jnp.asarray(d["sel_q"]),
+            c=jnp.asarray(d["sel_c"]), log_pdraw=jnp.asarray(d["sel_lp"]),
+            log_ndraw=jnp.asarray(d["sel_ln"]),
+        )
+    return PopCosmoData(events=ev, selection=sel)
 
 
 def mock_pop_cosmo_data(

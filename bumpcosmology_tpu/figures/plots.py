@@ -230,3 +230,25 @@ FIGURES = {
     "dNdm_PISN_effects": (dndm_pisn_effects, None),
     "mock_observation_corner": (mock_observation_corner, "mock_observations.h5"),
 }
+
+
+def render_all(cfg, out_dir="figures", skip_missing: bool = True, fmt: str = "pdf"):
+    """Render every figure whose input artifact exists (the L5 step of the
+    reference's build DAG, ``showyourwork.yml:97-111``).  Returns the list of
+    written paths; with ``skip_missing`` artifacts that have not been
+    produced yet (e.g. the mock branch) are skipped rather than fatal."""
+    out_dir = Path(out_dir)
+    made = []
+    for name, (fn, artifact) in FIGURES.items():
+        out = out_dir / f"{name}.{fmt}"
+        if artifact is None:
+            made.append(fn(out=out))
+            continue
+        src = Path(cfg.paths.path(artifact))
+        if not src.exists():
+            if skip_missing:
+                print(f"[figures] skipping {name}: missing {src}")
+                continue
+            raise FileNotFoundError(f"figure {name} needs {src}")
+        made.append(fn(src, out=out))
+    return made

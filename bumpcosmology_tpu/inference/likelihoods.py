@@ -349,6 +349,11 @@ def _shared_deterministics(sites, pop, log_wts, log_sel_wts, log_ndraw, nobs):
         "kappa": pop.params.redshift.kappa,
         "fpl": pop.params.mass.fpl,
         "neff_sel": neff_sel,
+        # MC noise of the -nobs log mu_sel term in nats: above ~1 the
+        # selection integral's smooth parameter-dependent noise carves
+        # pseudo-modes into the posterior (docs/DESIGN.md §5a) — add
+        # injections rather than trusting the fit.
+        "selection_noise_nats": nobs / jnp.sqrt(neff_sel),
         "neff": neff,
         "R": R,
         "mdNdmdVdt_fixed_qz": m_grid * R * jnp.exp(log_dndmdqdv(pop, m_grid, QREF, ZREF)),

@@ -255,6 +255,20 @@ def fit(
             f"({total / sam_s:.1f} draws/s, min-ESS/s {ess_min / sam_s:.2f}, "
             f"divergences {sample_stats['diverging'].sum():.0f})"
         )
+    if "selection_noise_nats" in posterior:
+        noise = float(np.median(posterior["selection_noise_nats"]))
+        if verbose:
+            print(f"[fit] selection-integral MC noise: {noise:.2f} nats (median)")
+        if noise > 1.0:
+            import warnings
+
+            warnings.warn(
+                f"selection-integral MC noise {noise:.2f} nats > 1.0: the "
+                "posterior itself is likely corrupted by pseudo-modes from "
+                "the finite injection set — increase the number of selection "
+                "injections (docs/DESIGN.md §5a)",
+                stacklevel=2,
+            )
 
     return FitResult(
         posterior=posterior,

@@ -202,18 +202,27 @@ def draw_mock_pe_samples(
     rng=None,
 ):
     """Gaussian mock PE samples in (log Mc_det, q, log dL), q truncated to
-    [0, 1] by redraw (``weighting.py:182-215``).
+    [0, 1] (``weighting.py:182-215``).
+
+    The reference truncates q by rejection-redraw; the resulting law is a
+    truncated normal, which we sample directly by inverse CDF — identical
+    distribution, but no quasi-hang when a noisy ``q_obs`` lands far outside
+    [0, 1] (rejection acceptance can drop below 1e-5 there).
 
     With ``output_source_frame``: convert to (m1_src, q, z) and return the
     analytic PE prior weight 1/m1 · 1/dL (dC + (1+z) dH/E).
     """
+    from scipy.special import ndtr, ndtri
+
     if rng is None:
         rng = np.random.default_rng()
     log_mcs = rng.normal(log_mc_obs, sigma_log_mc, size=size)
-    qs = rng.normal(q_obs, sigma_q, size=size)
-    while np.any((qs < 0) | (qs > 1)):
-        bad = (qs < 0) | (qs > 1)
-        qs[bad] = rng.normal(q_obs, sigma_q, size=bad.sum())
+    c_lo = ndtr((0.0 - q_obs) / sigma_q)
+    c_hi = ndtr((1.0 - q_obs) / sigma_q)
+    u = rng.uniform(c_lo, c_hi, size=size)
+    # clip away exact 0/1 quantiles (ndtri(-inf/inf)) from extreme q_obs
+    u = np.clip(u, 1e-12, 1.0 - 1e-12)
+    qs = np.clip(q_obs + sigma_q * ndtri(u), 0.0, 1.0)
     log_dls = rng.normal(log_dl_obs, sigma_log_dl, size=size)
 
     mcs = np.exp(log_mcs)

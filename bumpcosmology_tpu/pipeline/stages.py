@@ -36,6 +36,21 @@ def group_events(df: pd.DataFrame, cols=("m1", "q", "z", "wt")):
 # ------------------------------------------------------------------ ingestion
 
 
+def _stage_fetch(cfg: PipelineConfig):
+    """Download the 56 GWTC PE releases + O3 injection file from Zenodo
+    (reference: ``showyourwork.yml:27-94``), verifying/resuming as needed."""
+    from bumpcosmology_tpu.data.fetch import fetch_inputs
+
+    counts = fetch_inputs(
+        cfg.paths.pe_raw_dir,
+        cfg.paths.injection_file,
+        manifest_out=str(cfg.paths.path("input_manifest.json")),
+    )
+    print(
+        "[fetch] {present} present, {downloaded} downloaded, {failed} failed".format(**counts)
+    )
+
+
 def _stage_draw_pe_samples(cfg: PipelineConfig):
     from bumpcosmology_tpu.data import RejectedEventError, default_pop_wt, extract_posterior_samples
 
@@ -315,6 +330,14 @@ def _stage_sbc(cfg: PipelineConfig):
         print(f"[sbc] WARNING: sites failing uniformity at p<0.01: {bad}")
 
 
+def _stage_figures(cfg: PipelineConfig):
+    """Render all figures whose artifacts exist (L5 of the reference DAG)."""
+    from bumpcosmology_tpu.figures.plots import render_all
+
+    made = render_all(cfg, out_dir=Path(cfg.paths.data_dir) / "figures")
+    print(f"[figures] wrote {len(made)} figure(s)")
+
+
 # ------------------------------------------------------------------- assembly
 
 
@@ -322,6 +345,12 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
     p = cfg.paths.path
     return Pipeline(
         [
+            Stage(
+                "fetch",
+                lambda: _stage_fetch(cfg),
+                inputs=[],
+                outputs=[p("input_manifest.json")],
+            ),
             Stage(
                 "draw_pe_samples",
                 lambda: _stage_draw_pe_samples(cfg),
@@ -378,6 +407,12 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 inputs=[p("mock_injections.h5"), p("mock_observations.h5")],
                 outputs=[p("mock_year_samples.h5")],
                 after=["mock_observations"],
+            ),
+            Stage(
+                "figures",
+                lambda: _stage_figures(cfg),
+                inputs=[p("trace.h5"), p("trace_cosmo.h5")],
+                outputs=[],
             ),
         ]
     )

@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 from bumpcosmology_tpu.benchdata import mock_pop_cosmo_data
 from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec
 from bumpcosmology_tpu.inference.model import make_potential, unconstrain
-from bumpcosmology_tpu.models.parameters import DEFAULT_PARAMETERS, PLANCK18
+from bumpcosmology_tpu.models.parameters import DEFAULT_POPULATION, PLANCK18
 
 NSAMP = int(os.environ.get("DIAG_NSAMP", "128"))
 NSEL = int(os.environ.get("DIAG_NSEL", "1024"))
@@ -40,7 +40,7 @@ potential = make_potential(spec)
 names = list(spec.names)
 print("# sites:", names, flush=True)
 
-p = DEFAULT_PARAMETERS
+p = DEFAULT_POPULATION
 truth = {
     "h": PLANCK18.h, "Om": PLANCK18.Om, "w": PLANCK18.w,
     "a": p.mass.a, "b": p.mass.b, "c": p.mass.c, "mpisn": p.mass.mpisn,
