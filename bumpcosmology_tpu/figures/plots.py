@@ -220,6 +220,46 @@ def mock_observation_corner(
     return _finish(out)
 
 
+def sbc_ranks_hist(ranks_path, out="figures/sbc_ranks.pdf"):
+    """SBC rank histograms per site with a 99% uniform band (9th figure —
+    beyond reference parity; validates the whole inference stack via
+    Talts et al. 2018 rank uniformity)."""
+    import h5py
+
+    with h5py.File(ranks_path, "r") as f:
+        model = f.attrs.get("model", "pop")
+        g = f["ranks"]
+        n_bins_total = int(np.asarray(g["n_bins"]))
+        ranks = {
+            k: np.asarray(g[k]) for k in g.keys() if k != "n_bins"
+        }
+        pvals = dict(f["pvalues"].attrs) if "pvalues" in f else {}
+
+    sites = sorted(ranks.keys())
+    ncol = 4
+    nrow = (len(sites) + ncol - 1) // ncol
+    fig, axes = plt.subplots(nrow, ncol, figsize=(3 * ncol, 2.2 * nrow), squeeze=False)
+    for ax in axes.flat[len(sites):]:
+        ax.set_axis_off()
+    for ax, site in zip(axes.flat, sites):
+        r = ranks[site]
+        n = len(r)
+        k = max(2, min(10, n // 5))
+        edges = np.linspace(0, n_bins_total, k + 1)
+        ax.hist(r, bins=edges, color="C0", alpha=0.8)
+        # pointwise 99% band for a uniform multinomial
+        mean = n / k
+        lo, hi = ss.binom.ppf([0.005, 0.995], n, 1.0 / k)
+        ax.axhspan(lo, hi, color="k", alpha=0.12, lw=0)
+        ax.axhline(mean, color="k", lw=0.8, ls="--")
+        p = pvals.get(site)
+        label = site if p is None else f"{site}  (p={p:.2f})"
+        ax.set_title(label, fontsize=9)
+        ax.set_xlim(0, n_bins_total)
+    fig.suptitle(f"SBC rank histograms — {model} model ({n} simulations)")
+    return _finish(out)
+
+
 FIGURES = {
     "dNdm_fitted": (dndm_fitted, "trace.h5"),
     "cosmo_params_corner": (cosmo_params_corner, "trace_cosmo.h5"),
@@ -231,12 +271,20 @@ FIGURES = {
     "mock_observation_corner": (mock_observation_corner, "mock_observations.h5"),
 }
 
+# Beyond-parity figures: rendered when their artifact exists, never required
+# (FIGURES is the strict 8-figure reference-parity set).
+EXTRA_FIGURES = {
+    "sbc_ranks": (sbc_ranks_hist, "sbc_ranks.h5"),
+}
+
 
 def render_all(cfg, out_dir="figures", skip_missing: bool = True, fmt: str = "pdf"):
     """Render every figure whose input artifact exists (the L5 step of the
     reference's build DAG, ``showyourwork.yml:97-111``).  Returns the list of
     written paths; with ``skip_missing`` artifacts that have not been
-    produced yet (e.g. the mock branch) are skipped rather than fatal."""
+    produced yet (e.g. the mock branch) are skipped rather than fatal.
+    ``EXTRA_FIGURES`` are always optional — ``skip_missing=False`` asserts
+    only the reference-parity set."""
     out_dir = Path(out_dir)
     made = []
     for name, (fn, artifact) in FIGURES.items():
@@ -251,4 +299,8 @@ def render_all(cfg, out_dir="figures", skip_missing: bool = True, fmt: str = "pd
                 continue
             raise FileNotFoundError(f"figure {name} needs {src}")
         made.append(fn(src, out=out))
+    for name, (fn, artifact) in EXTRA_FIGURES.items():
+        src = Path(cfg.paths.path(artifact))
+        if src.exists():
+            made.append(fn(src, out=out_dir / f"{name}.{fmt}"))
     return made

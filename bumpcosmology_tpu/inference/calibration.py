@@ -38,7 +38,14 @@ from bumpcosmology_tpu.inference.model import ModelSpec, constrain, prior_sample
 from bumpcosmology_tpu.inference.sampler import fit
 from bumpcosmology_tpu.models.population import build_population, log_dndmdqdv
 
-__all__ = ["run_sbc", "make_mock_pop_simulator", "sbc_uniformity_pvalues"]
+__all__ = [
+    "run_sbc",
+    "make_mock_pop_simulator",
+    "make_mock_pop_cosmo_simulator",
+    "make_pop_sbc_spec_builder",
+    "make_pop_cosmo_sbc_spec_builder",
+    "sbc_uniformity_pvalues",
+]
 
 
 def run_sbc(
@@ -192,6 +199,119 @@ def make_mock_pop_simulator(
     return simulate
 
 
+def make_mock_pop_cosmo_simulator(
+    detected_obs,
+    n_total_injections: int,
+    nobs: int = 16,
+    nsamp: int = 64,
+    nsel: int = 2048,
+    pe_bank_size: int = 4096,
+    seed: int = 0,
+):
+    """Detector-frame catalog simulator for the JOINT (pop+cosmology) model.
+
+    The key observation making joint-model SBC cheap: detector-frame
+    observables (m1_det, q, dL) are *cosmology-invariant* — only the model's
+    mapping back to source frame depends on (h, Om, w).  So the PE-sample
+    banks and the selection set are θ-independent here too, exactly as in
+    :func:`make_mock_pop_simulator`; each prior draw only re-weights which
+    injections enter the catalog, via the θ-cosmology intensity × frame
+    Jacobian at the injections' detector-frame coordinates
+    (cf. ``intensity_models.py:357-390``).
+
+    ``nsel`` defaults higher than the pop-only simulator: the joint posterior
+    develops selection-MC pseudo-modes when ``nobs/sqrt(neff_sel)`` exceeds
+    ~1 nat (docs/DESIGN.md §5a), which would corrupt every SBC rank.
+
+    PE banks are stored with ``pdraw`` = fiducial detector-frame population
+    weight: Gaussian-law draws come distributed as L·(1/m1d·dL) (that factor
+    is the exact (logMc,q,logdL)→(m1d,q,dL) Jacobian), and are importance-
+    resampled to L·p_fid_det — a statistically exact retarget, valid as an
+    importance proposal for any θ.
+    """
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.data.weights import (
+        default_pop_wt,
+        dm1sqz_dm1ddqdl,
+        planck18_dl_np,
+        planck18_z_of_dl_np,
+    )
+    from bumpcosmology_tpu.inference.likelihoods import (
+        _cosmo_frame_logwts,
+        cosmo_from_sites,
+        make_pop_cosmo_data,
+    )
+    from bumpcosmology_tpu.mock.catalog import draw_mock_pe_samples
+    from bumpcosmology_tpu.models.cosmology import build_cosmology
+
+    rng0 = np.random.default_rng(seed)
+    obs = detected_obs.reset_index(drop=True)
+
+    # detector-frame injection coordinates + pdraw (frame-converted once,
+    # under the generating Planck18 — a property of the data, not of θ)
+    inj_z = obs["z"].to_numpy()
+    inj_m1 = obs["m1"].to_numpy()
+    inj_q = obs["q"].to_numpy()
+    inj_m1d = inj_m1 * (1.0 + inj_z)
+    inj_dl = planck18_dl_np(inj_z)
+    inj_pdraw_det = obs["pdraw_mqz"].to_numpy() * dm1sqz_dm1ddqdl(inj_m1, inj_q, inj_z)
+
+    nsel = min(nsel, len(obs))
+    sel_idx = rng0.choice(len(obs), size=nsel, replace=False)
+    sel_arrays = (
+        inj_m1d[sel_idx],
+        inj_q[sel_idx],
+        inj_dl[sel_idx],
+        inj_pdraw_det[sel_idx],
+        float(n_total_injections) * (nsel / len(obs)),
+    )
+
+    banks = []
+    for _, row in obs.iterrows():
+        m1d, q, dl, w = draw_mock_pe_samples(
+            row["log_mc_obs"], row["sigma_log_mc"],
+            row["q_obs"], row["sigma_q"],
+            row["log_dl_obs"], row["sigma_log_dl"],
+            size=pe_bank_size, output_source_frame=False, rng=rng0,
+        )
+        z = planck18_z_of_dl_np(dl)
+        m1 = m1d / (1.0 + z)
+        p_fid_det = default_pop_wt(m1, q, z) * dm1sqz_dm1ddqdl(m1, q, z)
+        rw = p_fid_det / w
+        total = np.sum(rw)
+        if not np.isfinite(total) or total <= 0:
+            banks.append(None)
+            continue
+        pick = rng0.choice(pe_bank_size, size=nsamp, p=rw / total)
+        banks.append((m1d[pick], q[pick], dl[pick], p_fid_det[pick]))
+
+    valid = np.array([b is not None for b in banks])
+    j_m1d = jnp.asarray(inj_m1d)
+    j_q = jnp.asarray(inj_q)
+    j_dl = jnp.asarray(inj_dl)
+    j_log_pdraw = jnp.asarray(np.log(inj_pdraw_det))
+
+    def simulate(rng: np.random.Generator, sites):
+        pop = build_population(population_from_sites(sites))
+        cosmo = build_cosmology(cosmo_from_sites(sites))
+        logwt = np.asarray(
+            _cosmo_frame_logwts(pop, cosmo, j_m1d, j_q, j_dl, j_log_pdraw),
+            dtype=np.float64,
+        )
+        logwt = np.where(valid & np.isfinite(logwt), logwt, -np.inf)
+        wt = np.exp(logwt - np.max(logwt))
+        total = wt.sum()
+        if not np.isfinite(total) or total <= 0:
+            wt = valid.astype(float)
+            total = wt.sum()
+        picks = rng.choice(len(obs), size=nobs, replace=False, p=wt / total)
+        stacks = [np.stack([banks[i][j] for i in picks]) for j in range(4)]
+        return make_pop_cosmo_data(*stacks, *sel_arrays)
+
+    return simulate
+
+
 def make_pop_sbc_spec_builder(n_grid: int = 128):
     """Spec builder for :func:`run_sbc` over the population-only model."""
 
@@ -203,5 +323,23 @@ def make_pop_sbc_spec_builder(n_grid: int = 128):
 
             return ModelSpec(priors=dict(POP_PRIORS), loglike=lambda s: jnp.asarray(0.0))
         return pop_model_spec(data, n_grid=n_grid)
+
+    return build
+
+
+def make_pop_cosmo_sbc_spec_builder(n_grid: int = 128, n_z: int = 256):
+    """Spec builder for :func:`run_sbc` over the joint pop+cosmology model."""
+
+    def build(data):
+        if data is None:
+            from bumpcosmology_tpu.inference.likelihoods import POP_COSMO_PRIORS
+            import jax.numpy as jnp
+
+            return ModelSpec(
+                priors=dict(POP_COSMO_PRIORS), loglike=lambda s: jnp.asarray(0.0)
+            )
+        from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec
+
+        return pop_cosmo_model_spec(data, n_grid=n_grid, n_z=n_z)
 
     return build

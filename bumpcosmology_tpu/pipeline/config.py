@@ -77,10 +77,11 @@ class MockConfig:
 class SBCConfig:
     """Simulation-based calibration suite (BASELINE.md scale-out config)."""
 
+    model: str = "pop"  # "pop" or "pop_cosmo" (joint model)
     n_sims: int = 20
     nobs: int = 12
     nsamp: int = 64
-    nsel: int = 512
+    nsel: int = 512  # raised automatically to >=2048 for the joint model
     campaign_ndraw: int = 200_000
     num_warmup: int = 200
     num_samples: int = 256

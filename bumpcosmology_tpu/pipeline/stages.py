@@ -292,7 +292,9 @@ def _stage_sbc(cfg: PipelineConfig):
     import jax
 
     from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_cosmo_simulator,
         make_mock_pop_simulator,
+        make_pop_cosmo_sbc_spec_builder,
         make_pop_sbc_spec_builder,
         run_sbc,
         sbc_uniformity_pvalues,
@@ -302,12 +304,24 @@ def _stage_sbc(cfg: PipelineConfig):
     c = cfg.sbc
     inj = draw_injection_campaign(ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk)
     obs = add_observation_noise(inj, seed=c.seed + 1, threshold=c.threshold)
-    simulate = make_mock_pop_simulator(
-        obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
-        seed=c.seed + 2,
-    )
+    if c.model == "pop_cosmo":
+        # the joint model needs a larger selection set or its SBC ranks are
+        # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
+        simulate = make_mock_pop_cosmo_simulator(
+            obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp,
+            nsel=max(c.nsel, 2048), seed=c.seed + 2,
+        )
+        builder = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+    elif c.model == "pop":
+        simulate = make_mock_pop_simulator(
+            obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
+            seed=c.seed + 2,
+        )
+        builder = make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid)
+    else:
+        raise ValueError(f"unknown sbc model {c.model!r}; use 'pop' or 'pop_cosmo'")
     ranks = run_sbc(
-        make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid),
+        builder,
         simulate,
         n_sims=c.n_sims,
         key=jax.random.PRNGKey(c.seed + 3),
@@ -318,6 +332,7 @@ def _stage_sbc(cfg: PipelineConfig):
     pvals = sbc_uniformity_pvalues(ranks)
     out = cfg.paths.path("sbc_ranks.h5")
     with h5py.File(out, "w") as f:
+        f.attrs["model"] = c.model
         g = f.create_group("ranks")
         for k, v in ranks.items():
             g.create_dataset(k.strip("_") if k == "__n_bins__" else k, data=np.asarray(v))

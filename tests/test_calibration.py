@@ -4,7 +4,9 @@ import numpy as np
 import pytest
 
 from bumpcosmology_tpu.inference.calibration import (
+    make_mock_pop_cosmo_simulator,
     make_mock_pop_simulator,
+    make_pop_cosmo_sbc_spec_builder,
     make_pop_sbc_spec_builder,
     run_sbc,
     sbc_uniformity_pvalues,
@@ -43,3 +45,67 @@ def test_sbc_harness_smoke():
     assert "R_unit" not in ranks
     pvals = sbc_uniformity_pvalues(ranks)
     assert all(0.0 <= p <= 1.0 for p in pvals.values())
+
+
+def test_pop_cosmo_simulator_produces_valid_data():
+    """Joint-model simulator: detector-frame data, finite weights, correct shapes."""
+    from bumpcosmology_tpu.inference.model import constrain, prior_sample
+    import jax.numpy as jnp
+
+    inj = draw_injection_campaign(ndraw=30_000, seed=15, snr_chunk=8192)
+    obs = add_observation_noise(inj, seed=16, threshold=20.0)
+    nsel = min(64, len(obs))  # campaign yields ~50 detections at threshold 20
+    simulate = make_mock_pop_cosmo_simulator(
+        obs, n_total_injections=len(inj), nobs=5, nsamp=16, nsel=nsel,
+        pe_bank_size=512, seed=17,
+    )
+    builder = make_pop_cosmo_sbc_spec_builder(n_grid=64, n_z=128)
+    proto = builder(None)
+    assert set(proto.priors) >= {"h", "Om", "w", "mpisn", "lam"}
+
+    rng = np.random.default_rng(18)
+    sites = {
+        k: np.asarray(v)
+        for k, v in constrain(proto, prior_sample(proto, jax.random.PRNGKey(19))).items()
+    }
+    data = simulate(rng, sites)
+    assert data.events.a.shape == (5, 16)
+    assert data.selection.a.shape == (nsel,)
+    # detector-frame masses exceed source frame: m1_det = m1 (1+z) > 5
+    assert np.all(np.asarray(data.events.a) > 5.0)
+    assert np.all(np.isfinite(np.asarray(data.events.log_pdraw)))
+    assert np.all(np.isfinite(np.asarray(data.selection.log_pdraw)))
+
+    # the spec's potential is finite and differentiable at a prior draw
+    from bumpcosmology_tpu.inference.model import make_potential
+
+    spec = builder(data)
+    theta = prior_sample(spec, jax.random.PRNGKey(20))
+    u, g = jax.value_and_grad(make_potential(spec))(theta)
+    assert np.isfinite(np.asarray(u))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.slow
+def test_sbc_harness_joint_model_smoke():
+    """run_sbc end-to-end on the joint model (2 sims, tiny fits)."""
+    inj = draw_injection_campaign(ndraw=30_000, seed=25, snr_chunk=8192)
+    obs = add_observation_noise(inj, seed=26, threshold=20.0)
+    simulate = make_mock_pop_cosmo_simulator(
+        obs, n_total_injections=len(inj), nobs=5, nsamp=16, nsel=64,
+        pe_bank_size=512, seed=27,
+    )
+    ranks = run_sbc(
+        make_pop_cosmo_sbc_spec_builder(n_grid=64, n_z=128),
+        simulate,
+        n_sims=2,
+        key=jax.random.PRNGKey(28),
+        num_warmup=100,
+        num_samples=64,
+        thin=4,
+        verbose=False,
+    )
+    n_bins = int(ranks["__n_bins__"])
+    for site in ("h", "Om", "w", "mpisn"):
+        assert site in ranks
+        assert np.all((ranks[site] >= 0) & (ranks[site] < n_bins))

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from bumpcosmology_tpu.inference.likelihoods import (
     make_pop_cosmo_data,
@@ -151,3 +152,62 @@ def test_o4_scale_shapes_shard_and_evaluate(cpu_devices):
     theta = prior_sample(spec, jax.random.PRNGKey(1))
     v = float(pot(theta))
     assert np.isfinite(v)
+
+
+@pytest.mark.slow
+def test_o4_full_scale_sharded_matches_dense(cpu_devices):
+    """The full O4-scale configuration the README advertises — 1000 events x
+    16384 PE samples + 16384 injections (VERDICT #5): sharded evaluation
+    (GSPMD and explicit shard_map streaming logsumexp) must match the dense
+    single-device likelihood, value and gradient, at f32 tolerance."""
+    import jax
+
+    from bumpcosmology_tpu.inference.model import make_potential, prior_sample, unconstrain
+    from bumpcosmology_tpu.parallel.sharding import pop_data_pspecs
+
+    rng = np.random.default_rng(44)
+    nobs, nsamp, nsel = 1000, 16384, 16384
+    m1 = rng.uniform(8.0, 70.0, size=(nobs, nsamp))
+    q = rng.uniform(0.3, 1.0, size=(nobs, nsamp))
+    z = rng.uniform(0.02, 1.5, size=(nobs, nsamp))
+    pd = rng.uniform(0.5, 2.0, size=(nobs, nsamp))
+    m1s = rng.uniform(8.0, 70.0, size=nsel)
+    qs = rng.uniform(0.3, 1.0, size=nsel)
+    zs = rng.uniform(0.02, 1.5, size=nsel)
+    pds = rng.uniform(0.5, 2.0, size=nsel)
+    data = make_pop_data(m1, q, z, pd, m1s, qs, zs, pds, ndraw=1e7)
+
+    mesh = make_mesh(devices=cpu_devices[:8])
+    data_sharded = shard_pop_data(data, mesh)
+
+    # per-shard footprint: each device holds 1/8 of every sharded axis
+    shard_bytes = sum(
+        x.addressable_shards[0].data.nbytes
+        for x in jax.tree.leaves(data_sharded)
+        if hasattr(x, "addressable_shards")
+    )
+    total_bytes = sum(x.nbytes for x in jax.tree.leaves(data))
+    assert shard_bytes < total_bytes / 4  # really sharded, not replicated
+
+    spec_dense = pop_model_spec(data, n_grid=128)
+    spec_sharded = pop_model_spec(data_sharded, n_grid=128)
+    theta = prior_sample(spec_dense, jax.random.PRNGKey(2))
+
+    pot_dense = jax.jit(make_potential(spec_dense))
+    pot_sharded = jax.jit(make_potential(spec_sharded))
+    v_dense = float(pot_dense(theta))
+    v_sharded = float(pot_sharded(theta))
+    assert np.isfinite(v_dense)
+    np.testing.assert_allclose(v_sharded, v_dense, rtol=2e-5)
+
+    g_dense = np.asarray(jax.jit(jax.grad(make_potential(spec_dense)))(theta))
+    g_sharded = np.asarray(jax.jit(jax.grad(make_potential(spec_sharded)))(theta))
+    np.testing.assert_allclose(g_sharded, g_dense, rtol=2e-4, atol=2e-4)
+
+    # explicit shard_map streaming-logsumexp path agrees too
+    sites = constrain(spec_dense, theta)
+    ll_stream = make_sharded_pop_loglike(mesh, data_sharded, n_grid=128)
+    ll_dense = pop_loglike(sites, data, n_grid=128)
+    np.testing.assert_allclose(
+        float(jax.jit(ll_stream)(sites)), float(ll_dense), rtol=2e-5
+    )

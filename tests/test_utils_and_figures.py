@@ -139,3 +139,24 @@ def test_all_eight_figures_render(tmp_path):
         else:
             result = fn(artifacts[artifact], out=out)
         assert result.exists() and result.stat().st_size > 1000, name
+
+
+def test_sbc_ranks_figure_renders(tmp_path):
+    """The 9th (beyond-parity) figure renders from an sbc_ranks.h5 artifact."""
+    import h5py
+
+    from bumpcosmology_tpu.figures.plots import sbc_ranks_hist
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "sbc_ranks.h5"
+    with h5py.File(path, "w") as f:
+        f.attrs["model"] = "pop_cosmo"
+        g = f.create_group("ranks")
+        g.create_dataset("n_bins", data=np.asarray(17))
+        for site in ("h", "Om", "w", "mpisn", "sigma"):
+            g.create_dataset(site, data=rng.integers(0, 17, size=40))
+        g2 = f.create_group("pvalues")
+        for site in ("h", "Om", "w", "mpisn", "sigma"):
+            g2.attrs[site] = 0.5
+    out = sbc_ranks_hist(path, out=tmp_path / "sbc_ranks.pdf")
+    assert out.exists() and out.stat().st_size > 0
