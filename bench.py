@@ -17,15 +17,20 @@ from a converged 1000-step warmup at the reference config), so the Markov
 kernel — and therefore ESS *per draw* — is identical by construction; only
 wall-clock differs:
 
-* accelerator: a real sampling phase (default 500 draws/chain x 4 chains),
-  min-ESS measured directly across all 15 scalar sites (Geyer initial-
-  positive-sequence ESS, split chains) → ``value`` = min-ESS / sampling wall.
-* host CPU (the reference's hardware basis, ``run_fit.py:17``): identical
-  kernel, draws timed over a bounded window, ESS/s = (accelerator
-  ESS-per-draw) x (CPU draws/s) — the kernel-identical extrapolation, since
-  a CPU window long enough to estimate ESS directly to useful precision
-  would take ~an hour per bench run.  A direct-ESS sanity check on the CPU
-  window is reported to stderr.
+* accelerator: a real sampling phase at the TPU-native configuration — 16
+  vectorized chains (``benchmarks/flagship_warmup16.npz``: the 4 adapted
+  kernels each replicated onto 4 stationary start positions), 400
+  draws/chain; min-ESS measured directly across all 15 scalar sites (Geyer
+  initial-positive-sequence ESS, split chains) → ``value`` = min-ESS /
+  sampling wall.  Vectorized chains are the point of the TPU design: the
+  per-step launch latency amortizes over the chain batch, and every chain
+  runs the same adapted kernels as the reference configuration.
+* host CPU (the reference's hardware basis, ``run_fit.py:17``) at the
+  reference's own 4-chain configuration: identical kernels, draws timed over
+  a bounded window, ESS/s = (measured ESS-per-draw of those kernels) x (CPU
+  draws/s) — the kernel-identical conversion, since a CPU window long enough
+  to estimate ESS directly to useful precision would take ~an hour per bench
+  run.  A direct-ESS sanity check on the CPU window goes to stderr.
 
 ``vs_baseline`` = accelerator ESS/s over CPU ESS/s, traceable to
 ``BASELINE.json``'s ≥50x north-star target.
@@ -43,9 +48,11 @@ import numpy as np
 HERE = Path(__file__).resolve().parent
 CATALOG = HERE / "benchmarks" / "flagship_catalog.npz"
 WARMUP = HERE / "benchmarks" / "flagship_warmup.npz"
+WARMUP16 = HERE / "benchmarks" / "flagship_warmup16.npz"
 
-N_CHAINS = 4
-N_ACCEL_DRAWS = 500  # per chain
+N_CHAINS_CPU = 4  # the reference configuration (run_cosmo_fit.py:18)
+N_CHAINS_ACCEL = 16  # TPU-native vectorized-chain configuration
+N_ACCEL_DRAWS = 400  # per chain
 CPU_BUDGET_S = 45.0  # CPU timing window (post-compile)
 SEED = 3281922803 % (2**31)
 
@@ -54,7 +61,7 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _prepare(platform: str):
+def _prepare(platform: str, warmup_path=None):
     """(spec, potential, warm) with data + state resident on ``platform``."""
     import jax
 
@@ -69,7 +76,8 @@ def _prepare(platform: str):
     data = jax.device_put(flagship_pop_cosmo_data(str(CATALOG)), dev)
     spec = pop_cosmo_model_spec(data)
     potential = make_potential(spec)
-    warm = jax.device_put(load_warmup(str(WARMUP)), dev)
+    path = warmup_path or WARMUP
+    warm = jax.device_put(load_warmup(str(path)), dev)
     return spec, potential, warm
 
 
@@ -95,7 +103,7 @@ def _ensure_warmup(platform: str) -> None:
     potential = make_potential(spec)
     key = jax.random.PRNGKey(SEED)
     k_init, k_warm = jax.random.split(key)
-    theta0 = _finite_prior_init(spec, potential, k_init, N_CHAINS)
+    theta0 = _finite_prior_init(spec, potential, k_init, N_CHAINS_CPU)
     warm, _ = run_warmup(potential, theta0, k_warm, 1000, NutsConfig())
     jax.block_until_ready(warm.state.theta)
     save_warmup(str(WARMUP), warm)
@@ -117,7 +125,9 @@ def bench_accel(platform: str):
 
     from bumpcosmology_tpu.inference.nuts import NutsConfig, run_sampling
 
-    spec, potential, warm = _prepare(platform)
+    warmup_path = WARMUP16 if WARMUP16.exists() else WARMUP
+    spec, potential, warm = _prepare(platform, warmup_path)
+    n_chains = int(np.asarray(warm.eps).shape[0])
     cfg = NutsConfig()
     key = jax.random.PRNGKey(SEED + 1)
 
@@ -130,12 +140,13 @@ def bench_accel(platform: str):
     jax.block_until_ready(thetas)
     dt = time.perf_counter() - t0
 
-    total = N_CHAINS * N_ACCEL_DRAWS
+    total = n_chains * N_ACCEL_DRAWS
     min_ess = _min_ess(spec, thetas)
     depth = float(np.median(np.asarray(stats.tree_depth)))
     log(
-        f"[bench/{platform}] {total} draws in {dt:.1f}s ({total / dt:.1f} draws/s), "
-        f"min-ESS {min_ess:.0f} ({min_ess / dt:.2f} ESS/s), median depth {depth:.0f}"
+        f"[bench/{platform}] {n_chains} chains: {total} draws in {dt:.1f}s "
+        f"({total / dt:.1f} draws/s), min-ESS {min_ess:.0f} "
+        f"({min_ess / dt:.2f} ESS/s), median depth {depth:.0f}"
     )
     return min_ess / dt, min_ess / total
 
@@ -157,7 +168,7 @@ def bench_cpu_rate():
     chunks = []
     state = warm
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < CPU_BUDGET_S and drawn < 4 * N_ACCEL_DRAWS:
+    while time.perf_counter() - t0 < CPU_BUDGET_S and drawn < N_ACCEL_DRAWS:
         key, k = jax.random.split(key)
         thetas, _, state = run_sampling(potential, state, k, 25, cfg)
         jax.block_until_ready(thetas)
@@ -165,7 +176,7 @@ def bench_cpu_rate():
         drawn += 25
     dt = time.perf_counter() - t0
 
-    total = N_CHAINS * drawn
+    total = N_CHAINS_CPU * drawn
     rate = total / dt
     log(f"[bench/cpu] {total} draws in {dt:.1f}s ({rate:.2f} draws/s)")
     if drawn >= 100:

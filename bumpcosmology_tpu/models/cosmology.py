@@ -38,6 +38,9 @@ __all__ = [
     "hubble_distance",
     "CosmologyTable",
     "build_cosmology",
+    "DetectorFrameTable",
+    "build_detector_table",
+    "z_and_logjac_at_dl",
     "z_at_dl",
     "z_at_dc",
     "dc_at_z",
@@ -160,6 +163,61 @@ def z_at_dl(table: CosmologyTable, dl):
 def z_at_dc(table: CosmologyTable, dc):
     """Inverse lookup z(dC) (``intensity_models.py:270-271``)."""
     return interp(dc, table.dc, table.z)
+
+
+class DetectorFrameTable(NamedTuple):
+    """Per-draw inverse table keyed on v = log(dL): everything the detector-
+    frame likelihood needs per sample, fetched with ONE tiled contraction.
+
+    The reference evaluates ``z_of_dL`` (inverse interp against 1024
+    non-uniform knots) and then ``dVC/dz``/``ddL/dz`` separately per query
+    (``intensity_models.py:378-388``).  On TPU each of those materializes an
+    O(N x K) weight matrix, and the flagship likelihood is HBM-bound on
+    exactly that traffic.  Re-keying the table on a *uniform* grid in
+    ``log dL`` (bounds are data constants — dL is observed) folds all three
+    lookups into one two-column fetch whose bracket weights depend only on
+    the data.
+    """
+
+    params: CosmoParams
+    v0: jnp.ndarray  # = log(dl_lo)
+    dv: jnp.ndarray
+    cols: jnp.ndarray  # (n, 2): z(dL), log dVc/dz - log ddL/dz
+
+
+def build_detector_table(
+    table: CosmologyTable, dl_lo: float, dl_hi: float, n: int = 1024
+) -> DetectorFrameTable:
+    """Build the log(dL)-keyed inverse table from a forward table (per draw).
+
+    ``dl_lo``/``dl_hi`` must be static floats bracketing every query (the
+    catalog's observed dL range); one O(n·n_z) inverse interpolation per draw
+    replaces an O(N·n_z) one per likelihood query batch.
+    """
+    import math
+
+    v0 = math.log(float(dl_lo))
+    v1 = math.log(float(dl_hi))
+    v = jnp.linspace(v0, v1, n)
+    dl = jnp.exp(v)
+    z = z_at_dl(table, dl)
+    dvc, ddl = dvc_and_ddl_at_z(table, z)
+    cols = jnp.stack([z, jnp.log(dvc) - jnp.log(ddl)], axis=1)
+    return DetectorFrameTable(
+        params=table.params,
+        v0=jnp.asarray(v0, dtype=cols.dtype),
+        dv=jnp.asarray((v1 - v0) / (n - 1), dtype=cols.dtype),
+        cols=cols,
+    )
+
+
+def z_and_logjac_at_dl(det: DetectorFrameTable, dl):
+    """(z, log dVc/dz − log ddL/dz) at luminosity distance(s) ``dl``.
+
+    Routed through :func:`interp_unit_spaced` so each backend gets its fast
+    formulation (tiled contraction on TPU, dynamic gathers on CPU)."""
+    out = interp_unit_spaced(jnp.log(jnp.asarray(dl)), det.v0, det.dv, det.cols)
+    return out[..., 0], out[..., 1]
 
 
 def log_diff_comoving_volume_rate(table: CosmologyTable, z):

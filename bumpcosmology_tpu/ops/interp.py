@@ -26,7 +26,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interp", "interp_unit_spaced", "inverse_interp"]
+__all__ = ["interp", "interp_unit_spaced", "interp_unit_tiled", "inverse_interp"]
 
 
 _METHOD_OVERRIDE: Optional[str] = None
@@ -41,7 +41,7 @@ def set_default_method(method: Optional[str]) -> None:
     device an array lives on.
     """
     global _METHOD_OVERRIDE
-    assert method in (None, "gather", "matmul")
+    assert method in (None, "gather", "matmul", "tiled")
     _METHOD_OVERRIDE = method
 
 
@@ -49,6 +49,13 @@ def _default_method() -> str:
     if _METHOD_OVERRIDE is not None:
         return _METHOD_OVERRIDE
     return "matmul" if jax.default_backend() == "tpu" else "gather"
+
+
+def _default_unit_method() -> str:
+    """Uniform-grid lookups default to the tiled two-level formulation on TPU
+    (exact linear interp, ~16x less HBM traffic than the flat hat matmul)."""
+    m = _default_method()
+    return "tiled" if m == "matmul" else m
 
 
 # ---------------------------------------------------------------- non-uniform
@@ -148,19 +155,94 @@ def interp_unit_spaced(
 
     The bracketing index is arithmetic (no ``searchsorted``); this is the
     hot-path lookup for the PISN-bump mass grid and the log1p(z)-uniform
-    cosmology tables.  ``method``: ``"gather"`` (2 dynamic gathers/query) or
-    ``"matmul"`` (hat-weight MXU contraction, the TPU default).
+    cosmology tables.  ``method``: ``"gather"`` (2 dynamic gathers/query),
+    ``"matmul"`` (flat hat-weight MXU contraction), or ``"tiled"`` (two-level
+    tile-select + in-tile hat, the TPU default — see
+    :func:`interp_unit_tiled`).
 
-    **The matmul formulation requires a finite table**: it contracts zero
-    weights against every entry, and ``0 * inf = NaN`` poisons all outputs.
-    Clamp sentinel -inf knots to large finite values at table construction.
+    **The matmul/tiled formulations require a finite table**: they contract
+    zero weights against table entries, and ``0 * inf = NaN`` poisons all
+    outputs.  Clamp sentinel -inf knots to large finite values at table
+    construction.
     """
     x = jnp.asarray(x)
     fp = jnp.asarray(fp)
-    method = method or _default_method()
+    method = method or _default_unit_method()
+    if method == "tiled":
+        return interp_unit_tiled(x, x0, dx, fp)
     if method == "matmul":
         return _interp_unit_matmul(x, x0, dx, fp)
     return _interp_unit_gather(x, x0, dx, fp)
+
+
+def interp_unit_tiled(
+    x: jnp.ndarray, x0, dx, fp: jnp.ndarray, tile: int = 32
+) -> jnp.ndarray:
+    """Two-level uniform-grid linear interpolation (TPU hot-path formulation).
+
+    Mathematically identical to :func:`interp_unit_spaced` but restructured
+    for HBM bandwidth: the flat hat-weight matmul materializes an (N, K)
+    weight matrix per lookup — at K≈1024 and N≈2·10⁴ that is ~90 MB of
+    traffic per pass, which is what saturates the chip in the flagship
+    likelihood.  Here the table is cut into T = (K-1)/tile overlapping tiles
+    of ``tile+1`` entries and the lookup becomes
+
+      1. a (N, T) one-hot tile selector            [T ≈ 32 comparisons/query]
+      2. one (N, T) @ (T, (tile+1)·C) MXU matmul   [fetches each query's tile]
+      3. an in-tile hat contraction over tile+1 entries.
+
+    Materialized traffic drops to N·(T + 2(tile+1)·C) values — ~16x less at
+    K = 1024 — while staying exact linear interpolation with clamped ends.
+
+    ``fp``: (K,) or (K, C) with (K-1) divisible by ``tile``.
+    """
+    x = jnp.asarray(x)
+    fp = jnp.asarray(fp)
+    squeeze = fp.ndim == 1
+    if squeeze:
+        fp = fp[:, None]
+    k, c = fp.shape
+    kq = k  # query clamp bound (original table)
+    if (k - 1) % tile != 0:
+        # edge-pad to the next tile boundary; queries clamp to the original
+        # range so padded entries act as constant extrapolation (never hit)
+        pad = tile - (k - 1) % tile
+        fp = jnp.concatenate([fp, jnp.broadcast_to(fp[-1:], (pad, c))], axis=0)
+        k = k + pad
+    t = (k - 1) // tile
+    dtype = x.dtype
+
+    shape = x.shape
+    pos = jnp.clip((x.reshape(-1) - x0) / dx, 0.0, kq - 1.0)
+    n = pos.shape[0]
+
+    # stage 1: tile selector (clip pos == K-1 into the last tile)
+    tile_f = jnp.minimum(jnp.floor(pos / tile), t - 1.0)
+    tids = jax.lax.broadcasted_iota(dtype, (1, t), 1)
+    onehot = (tile_f[:, None] == tids).astype(dtype)  # (N, T)
+
+    # stage 2: fetch each query's (tile+1, C) sub-table with one matmul.
+    # Overlapping tiles: tile j covers entries [j*tile, j*tile + tile], so a
+    # bracket [lo, lo+1] with lo in [j*tile, j*tile+tile-1] never straddles.
+    stacked = jnp.stack(
+        [
+            jax.lax.dynamic_slice_in_dim(fp, j * tile, tile + 1, axis=0).reshape(-1)
+            for j in range(t)
+        ],
+        axis=0,
+    )  # (T, (tile+1)*C) — static slices of the (traced) table
+    vals = jnp.dot(onehot, stacked, preferred_element_type=dtype)
+    vals = vals.reshape(n, tile + 1, c)
+
+    # stage 3: in-tile hat weights
+    local = pos - tile_f * tile  # in [0, tile]
+    j = jax.lax.broadcasted_iota(dtype, (1, tile + 1), 1)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - j))  # (N, tile+1)
+    out = jnp.einsum("nt,ntc->nc", w, vals)
+    if squeeze:
+        out = out[:, 0]
+        return out.reshape(shape)
+    return out.reshape(shape + (c,))
 
 
 def inverse_interp(y: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:

@@ -212,3 +212,35 @@ def test_prior_site_count_parity():
     # matching ``intensity_models.py:281-311,328-330,348,368-372``.
     assert len(POP_PRIORS) == 12
     assert len(POP_COSMO_PRIORS) == 15
+
+
+def test_fused_detector_table_matches_per_lookup_path():
+    """pop_cosmo_loglike with dl_bounds (fused log-dL-keyed table) agrees with
+    the per-lookup formulation at interp-discretization tolerance, for value
+    and gradient, across prior draws."""
+    import jax
+
+    from bumpcosmology_tpu.inference.likelihoods import dl_bounds_of, pop_cosmo_loglike
+    from bumpcosmology_tpu.inference.model import constrain, prior_sample
+    from bumpcosmology_tpu.testing import synthetic_pop_cosmo_data
+
+    data = synthetic_pop_cosmo_data(nobs=8, nsamp=32, nsel=128, seed=3)
+    spec = pop_cosmo_model_spec(data)
+    bounds = dl_bounds_of(data)
+
+    def old(theta):
+        return pop_cosmo_loglike(constrain(spec, theta), data, 128, 512, None)
+
+    def new(theta):
+        return pop_cosmo_loglike(constrain(spec, theta), data, 128, 512, bounds)
+
+    for s in range(4):
+        theta = prior_sample(spec, jax.random.PRNGKey(100 + s))
+        v_old, g_old = jax.value_and_grad(old)(theta)
+        v_new, g_new = jax.value_and_grad(new)(theta)
+        assert np.isfinite(float(v_new))
+        # discretization difference of the re-keyed table: O(1e-5) relative
+        np.testing.assert_allclose(float(v_new), float(v_old), rtol=5e-4, atol=5e-2)
+        np.testing.assert_allclose(
+            np.asarray(g_new), np.asarray(g_old), rtol=0.05, atol=0.05
+        )

@@ -197,3 +197,38 @@ def test_interp_matmul_nan_poisoning_documented():
     fp_c = jnp.asarray([-1e4, 1.0, 2.0, 3.0])
     a = ops.interp_unit_spaced(x, 0.0, 1.0, fp_c, method="matmul")
     np.testing.assert_allclose(float(a[0]), 2.5)
+
+
+def test_interp_unit_tiled_exact_vs_flat():
+    """Tiled two-level formulation is exact linear interp: matches gather and
+    matmul for scalar and multi-column tables, any K (auto-padding), including
+    out-of-range clamping and gradients through table AND queries."""
+    import jax
+
+    from bumpcosmology_tpu.ops.interp import interp_unit_spaced, interp_unit_tiled
+
+    rng = np.random.default_rng(7)
+    for K, C, tile in [(1024, 1, 32), (1024, 3, 32), (256, 2, 16), (100, 1, 32)]:
+        fp = jnp.asarray(
+            rng.normal(size=(K,)) if C == 1 else rng.normal(size=(K, C))
+        )
+        x0, dx = -1.5, 0.013
+        x = jnp.asarray(rng.uniform(-2.5, x0 + dx * (K + 60), size=3000))
+        ref = interp_unit_spaced(x, x0, dx, fp, method="gather")
+        for got in (
+            interp_unit_tiled(x, x0, dx, fp, tile=tile),
+            interp_unit_spaced(x, x0, dx, fp, method="tiled"),
+            interp_unit_spaced(x, x0, dx, fp, method="matmul"),
+        ):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-6, atol=2e-6)
+
+        g_ref = jax.grad(
+            lambda f, xx: jnp.sum(interp_unit_spaced(xx, x0, dx, f, method="gather") ** 2),
+            argnums=(0, 1),
+        )(fp, x)
+        g_til = jax.grad(
+            lambda f, xx: jnp.sum(interp_unit_tiled(xx, x0, dx, f, tile=tile) ** 2),
+            argnums=(0, 1),
+        )(fp, x)
+        for a, b in zip(g_ref, g_til):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
