@@ -78,14 +78,23 @@ def _catalog(nobs, nsamp, nsel, ndraw_campaign, threshold, seed):
 
 
 def mock_pop_data(
-    nobs=56, nsamp=128, nsel=1024, ndraw_campaign=300_000, threshold=20.0, seed=7000
+    nobs=56, nsamp=128, nsel=1024, ndraw_campaign=300_000, threshold=20.0, seed=7000,
+    dtype=None,
 ) -> PopData:
-    """Reference-scale source-frame catalog from the fiducial population."""
+    """Reference-scale source-frame catalog from the fiducial population.
+
+    ``dtype`` overrides the on-device precision (default float32; pass
+    ``jnp.float64`` under x64 for cross-precision validation runs — the
+    host-side catalog construction is float64 either way).
+    """
+    import jax.numpy as jnp
+
     (m1, q, z, wt), sel, ndraw = _catalog(nobs, nsamp, nsel, ndraw_campaign, threshold, seed)
+    kw = {} if dtype is None else {"dtype": dtype}
     return make_pop_data(
         m1, q, z, wt,
         sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(),
-        sel["pdraw_mqz"].to_numpy(), ndraw=ndraw,
+        sel["pdraw_mqz"].to_numpy(), ndraw=ndraw, **kw,
     )
 
 

@@ -40,6 +40,7 @@ from bumpcosmology_tpu.models.population import build_population, log_dndmdqdv
 
 __all__ = [
     "run_sbc",
+    "run_sbc_fleet",
     "make_mock_pop_simulator",
     "make_mock_pop_cosmo_simulator",
     "make_pop_sbc_spec_builder",
@@ -96,6 +97,103 @@ def run_sbc(
             ranks.setdefault(site, []).append(int(np.sum(draws < truth)))
         if verbose:
             print(f"[sbc] sim {i + 1}/{n_sims} done", flush=True)
+    out = {k: np.asarray(v) for k, v in ranks.items()}
+    out["__n_bins__"] = np.asarray(n_bins + 1 if n_bins else 0)
+    return out
+
+
+def run_sbc_fleet(
+    proto_spec: ModelSpec,
+    make_loglike: Callable,
+    simulate: Callable,
+    n_sims: int,
+    key,
+    num_warmup: int = 300,
+    num_samples: int = 256,
+    thin: int = 4,
+    skip_sites: Sequence[str] = ("R_unit",),
+    seed: int = 0,
+    verbose: bool = True,
+) -> Dict[str, np.ndarray]:
+    """SBC with all simulations fit AS ONE vectorized fleet (one compile).
+
+    The sequential :func:`run_sbc` recompiles the NUTS program for every
+    simulation (each dataset closure is a new static potential) — minutes of
+    XLA work per sim.  Here the datasets stack on a fleet axis and
+    :func:`bumpcosmology_tpu.inference.fleet.fleet_fit` advances all
+    single-chain fits in lockstep through shared jitted chunks.
+
+    ``proto_spec``: a ModelSpec whose priors are the generating distribution
+    (its loglike is unused).  ``make_loglike(stacked_datas) ->
+    loglike(sites, data_slice)`` builds the data-as-argument likelihood
+    (letting it capture fleet-wide static facts such as the dL table bounds).
+    """
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.inference.fleet import fleet_fit
+    from bumpcosmology_tpu.inference.model import _log_prior_and_jac
+
+    rng = np.random.default_rng(seed)
+    theta_trues, sites_trues, datas_list = [], [], []
+    for _ in range(n_sims):
+        key, k_prior = jax.random.split(key)
+        theta_true = prior_sample(proto_spec, k_prior)
+        sites_true = {
+            k: np.asarray(v) for k, v in constrain(proto_spec, theta_true).items()
+        }
+        theta_trues.append(theta_true)
+        sites_trues.append(sites_true)
+        datas_list.append(simulate(rng, sites_true))
+    datas = jax.tree.map(lambda *xs: jnp.stack(xs), *datas_list)
+    theta_true_arr = jnp.stack(theta_trues)
+    if verbose:
+        print(f"[sbc] {n_sims} simulations drawn; launching fleet fit", flush=True)
+
+    loglike = make_loglike(datas)
+
+    def make_pot(data):
+        def pot(theta):
+            sites = constrain(proto_spec, theta)
+            return -(_log_prior_and_jac(proto_spec, theta) + loglike(sites, data))
+
+        return pot
+
+    # finite inits: prior candidates, truth as guaranteed-finite fallback
+    key, k_cand, k_fit = jax.random.split(key, 3)
+    n_cand = 16
+    cands = jax.vmap(lambda k: prior_sample(proto_spec, k, shape=(n_cand,)))(
+        jax.random.split(k_cand, n_sims)
+    )  # (S, n_cand, dim)
+    u = jax.jit(
+        jax.vmap(lambda d, c: jax.vmap(make_pot(d))(c))
+    )(datas, cands)
+    finite = jnp.isfinite(u)
+    idx = jnp.argmax(finite, axis=1)
+    picked = jnp.take_along_axis(cands, idx[:, None, None], axis=1)[:, 0]
+    theta0 = jnp.where(jnp.any(finite, axis=1)[:, None], picked, theta_true_arr)
+
+    progress = None
+    if verbose:
+        def progress(phase, done, total):
+            if done % 100 == 0 or done == total:
+                print(f"[sbc/fleet] {phase} {done}/{total}", flush=True)
+
+    res = fleet_fit(
+        make_pot, datas, theta0, k_fit,
+        num_warmup=num_warmup, num_samples=num_samples, progress=progress,
+    )
+    assert np.all(np.isfinite(np.asarray(res.thetas))), "non-finite fleet draws"
+
+    post = {k: np.asarray(v) for k, v in constrain(proto_spec, res.thetas).items()}
+    ranks: Dict[str, list] = {}
+    n_bins = None
+    for s in range(n_sims):
+        for site, truth in sites_trues[s].items():
+            if site in skip_sites:
+                continue
+            draws = post[site][s][::thin]
+            n_bins = len(draws)
+            ranks.setdefault(site, []).append(int(np.sum(draws < truth)))
     out = {k: np.asarray(v) for k, v in ranks.items()}
     out["__n_bins__"] = np.asarray(n_bins + 1 if n_bins else 0)
     return out

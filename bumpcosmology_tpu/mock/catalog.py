@@ -52,6 +52,7 @@ def draw_injection_campaign(
     z_horizon: float = Z_HORIZON,
     chirp_dist_min: float = CHIRP_DIST_MIN,
     snr_chunk: int = 65536,
+    psds=None,
 ) -> pd.DataFrame:
     """Draw the synthetic injection campaign and compute network SNRs.
 
@@ -107,6 +108,7 @@ def draw_injection_campaign(
             psi[idx],
             gmst[idx],
             chunk=snr_chunk,
+            psds=psds,
         )
         snr_cols["SNR_H1"][idx] = snrs["H1"]
         snr_cols["SNR_L1"][idx] = snrs["L1"]

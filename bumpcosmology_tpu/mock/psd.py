@@ -40,12 +40,21 @@ __all__ = [
 PSD_SCALE = 1e-46  # returned PSDs are S_n / PSD_SCALE
 _ADV_AMPLITUDE_RATIO = 0.55  # AdV/aLIGO design horizon ratio (amplitude)
 
+# Amplitude calibration of the Ajith analytic fit against the *published*
+# aLIGO design (P1200087) BNS range of ~173-190 Mpc: the raw fit yields a
+# 1.4+1.4 Msun range of 220 Mpc with this framework's kernel (optimal-SNR-8
+# horizon / 2.264), ~16% optimistic.  Scaling S_n by (220/181)^2 pins the
+# range to 181 Mpc (band midpoint); verified by
+# ``tests/test_mock.py::test_bns_range_matches_published_design``.
+_ALIGO_RANGE_CALIBRATION = (220.0 / 181.0) ** 2
+
 
 def aligo_design_psd(f, f_low: float = 10.0):
-    """Analytic aLIGO design PSD in units of ``PSD_SCALE``/Hz (Ajith 2011 fit)."""
+    """Analytic aLIGO design PSD in units of ``PSD_SCALE``/Hz (Ajith 2011
+    fit, amplitude-calibrated to the published P1200087 BNS range)."""
     f = jnp.asarray(f)
     x = f / 215.0
-    s = 1e-3 * (
+    s = 1e-3 * _ALIGO_RANGE_CALIBRATION * (
         x ** (-4.14) - 5.0 / (x * x) + 111.0 * (1.0 - x * x + 0.5 * x**4) / (1.0 + 0.5 * x * x)
     )  # = S_n / 1e-46
     return jnp.where((f < f_low) | (s <= 0), jnp.inf, s)

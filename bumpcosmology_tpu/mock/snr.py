@@ -56,17 +56,23 @@ def network_snr(
     f_grid,
     detectors: Sequence[str] = ("H1", "L1", "V1"),
     use_pallas: bool = False,
+    psds=None,
 ):
     """Per-detector and network SNR for a batch of injections.
 
     All source arguments shaped (batch,); returns dict with per-detector SNRs
     and ``net`` = sqrt(sum of squares) (cf. ``mock_injections.py:63-79``).
 
-    All design PSDs here share one spectral *shape* (V1 is an
+    All *default* design PSDs share one spectral shape (V1 is an
     amplitude-rescaled aLIGO curve, :mod:`bumpcosmology_tpu.mock.psd`), so the
     expensive frequency integral ∫A²/S df is computed **once** per injection
     and per-detector SNRs differ only by the antenna projection and a scalar
     PSD ratio — 3× less bandwidth than integrating per detector.
+
+    ``psds``: optional ``{detector: psd_callable}`` overriding the design
+    curves (e.g. :func:`bumpcosmology_tpu.mock.psd.tabulated_psd` wrapping a
+    real measured/design table).  Overridden detectors get their own full
+    frequency integral since their shape need not match the shared one.
     """
     ci = jnp.cos(iota)
     plus_fac = (0.5 * (1.0 + ci * ci)) ** 2
@@ -95,25 +101,43 @@ def network_snr(
     # per-detector scalar PSD ratios relative to the reference shape
     f_probe = jnp.asarray([100.0])
     ref = PSDS["H1"](f_probe)[0]
+    psds = psds or {}
+    amp2 = None
+    df = jnp.diff(f_grid)
     out = {}
     net2 = 0.0
     for det in detectors:
-        scale = ref / PSDS[det](f_probe)[0]  # 1 for H1/L1, 0.55^2 for V1
+        if det in psds:
+            # custom curve: own shape -> own frequency integral
+            if amp2 is None:
+                a = AMP_SCALE * phenom_a_amplitude(
+                    f_grid[None, :], m1_det[:, None], m2_det[:, None], dl_gpc[:, None]
+                )
+                amp2 = a * a
+            integrand = amp2 * (1.0 / psds[det](f_grid))[None, :]
+            det_integral = jnp.sum(
+                0.5 * df[None, :] * (integrand[:, 1:] + integrand[:, :-1]), axis=1
+            )
+            scale = 1.0
+        else:
+            det_integral = integral
+            scale = ref / PSDS[det](f_probe)[0]  # 1 for H1/L1, 0.55^2 for V1
         fp, fc = antenna_pattern(DETECTORS[det], ra, dec, psi, gmst)
         proj = fp * fp * plus_fac + fc * fc * cross_fac  # (batch,)
-        rho2 = 4.0 * proj * integral * scale
+        rho2 = 4.0 * proj * det_integral * scale
         out[det] = jnp.sqrt(rho2)
         net2 = net2 + rho2
     out["net"] = jnp.sqrt(net2)
     return out
 
 
-@partial(jax.jit, static_argnames=("chunk", "detectors", "n_f"))
-def _snr_chunked(args, chunk: int, detectors, n_f: int):
+@partial(jax.jit, static_argnames=("chunk", "detectors", "n_f", "psd_items"))
+def _snr_chunked(args, chunk: int, detectors, n_f: int, psd_items=()):
     f_grid = frequency_grid(n=n_f)
+    psds = dict(psd_items) if psd_items else None
 
     def one_chunk(chunk_args):
-        return network_snr(*chunk_args, f_grid, detectors)
+        return network_snr(*chunk_args, f_grid, detectors, psds=psds)
 
     reshaped = jax.tree.map(lambda x: x.reshape(-1, chunk), args)
     return jax.lax.map(one_chunk, reshaped)
@@ -131,11 +155,14 @@ def network_snr_batched(
     chunk: int = 65536,
     detectors: Sequence[str] = ("H1", "L1", "V1"),
     n_f: int = DEFAULT_N_F,
+    psds=None,
 ):
     """Chunked SNR evaluation for very large injection batches (10⁷ scale).
 
     Pads to a chunk multiple, maps chunks through one compiled kernel, strips
-    the padding.  Returns numpy arrays.
+    the padding.  Returns numpy arrays.  ``psds`` as in :func:`network_snr`
+    (callables must be hashable — module functions / closures, not lambdas
+    rebuilt per call, or the jit cache churns).
     """
     n = len(np.asarray(m1_det))
     chunk = min(chunk, max(1, n))
@@ -146,5 +173,6 @@ def network_snr_batched(
         return jnp.asarray(np.concatenate([x, np.full(n_pad, x[-1], dtype=np.float32)]))
 
     args = tuple(prep(x) for x in (m1_det, m2_det, dl_gpc, iota, ra, dec, psi, gmst))
-    out = _snr_chunked(args, chunk, tuple(detectors), n_f)
+    psd_items = tuple(sorted(psds.items())) if psds else ()
+    out = _snr_chunked(args, chunk, tuple(detectors), n_f, psd_items)
     return {k: np.asarray(v).reshape(-1)[:n] for k, v in out.items()}

@@ -93,6 +93,24 @@ def log_smooth_turnon(m, mmin, width=0.05):
     return math.log(2.0) - jax.nn.softplus(-(m - mmin) / dm)
 
 
+_BUMP_KERNEL_OVERRIDE = None  # None = by backend; "pallas" | "jax"
+
+
+def set_bump_kernel(mode) -> None:
+    """Force the bump-grid implementation: ``"pallas"`` (fused TPU kernel with
+    analytic VJP, :mod:`bumpcosmology_tpu.ops.pallas_bump`), ``"jax"`` (plain
+    jnp), or ``None`` (pallas on TPU, jnp elsewhere)."""
+    global _BUMP_KERNEL_OVERRIDE
+    assert mode in (None, "pallas", "jax")
+    _BUMP_KERNEL_OVERRIDE = mode
+
+
+def _use_pallas_bump() -> bool:
+    if _BUMP_KERNEL_OVERRIDE is not None:
+        return _BUMP_KERNEL_OVERRIDE == "pallas"
+    return False  # opt-in via set_bump_kernel("pallas") (TPU only)
+
+
 def pisn_bump_log_dndm_grid(params: MassParams, n_grid: int = DEFAULT_N_GRID):
     """Tabulate log dN/dm of the PISN bump on a uniform BH-mass grid.
 
@@ -100,13 +118,23 @@ def pisn_bump_log_dndm_grid(params: MassParams, n_grid: int = DEFAULT_N_GRID):
     ``mbh[i] = mbh_lo + i*dmbh`` with ``i in [0, n_grid)`` spanning
     ``[3, mbhmax + 7 sigma]`` (``intensity_models.py:96-108``).  The CO-mass
     integration grid spans ``[1, largest_mco]``.  The (n_grid, n_grid)
-    Gaussian-kernel fill + log-trapezoid is the hottest kernel of the
-    likelihood; it is written so XLA fuses it into a single VMEM-resident
-    elementwise+reduce subgraph.
+    Gaussian-kernel fill + log-trapezoid is the hottest table build of the
+    likelihood; on TPU it runs as one fused Pallas kernel with a hand-derived
+    backward (:func:`bumpcosmology_tpu.ops.pallas_bump.bump_log_dn_pallas`),
+    elsewhere as a jnp elementwise+reduce subgraph XLA fuses itself.
     """
     mbh_hi = params.mbhmax + 7.0 * params.sigma
-    mco_hi = largest_mco(params.mpisn, params.mbhmax)
+    dmbh = (mbh_hi - _GRID_MBH_LO) / (n_grid - 1)
 
+    if _use_pallas_bump():
+        from bumpcosmology_tpu.ops.pallas_bump import bump_log_dn_pallas
+
+        log_dn = bump_log_dn_pallas(
+            params.a, params.b, params.mpisn, params.mbhmax, params.sigma, n_grid
+        )
+        return _GRID_MBH_LO, dmbh, log_dn
+
+    mco_hi = largest_mco(params.mpisn, params.mbhmax)
     mbh = jnp.linspace(_GRID_MBH_LO, mbh_hi, n_grid)
     mco = jnp.linspace(_GRID_MCO_LO, mco_hi, n_grid)
 
@@ -117,7 +145,6 @@ def pisn_bump_log_dndm_grid(params: MassParams, n_grid: int = DEFAULT_N_GRID):
         - jnp.log(params.sigma)
     )
     log_dn = log_trapz(log_kernel, mco[None, :], axis=1)
-    dmbh = (mbh_hi - _GRID_MBH_LO) / (n_grid - 1)
     return _GRID_MBH_LO, dmbh, log_dn
 
 

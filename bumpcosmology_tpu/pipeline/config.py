@@ -11,7 +11,7 @@ import dataclasses
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Optional
+from typing import Dict, Optional
 
 __all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "SBCConfig", "PipelineConfig"]
 
@@ -71,6 +71,10 @@ class MockConfig:
     chirp_dist_min: float = 1.5
     detection_snr: float = 10.0
     snr_chunk: int = 65536
+    # optional {detector: path} of tabulated physical PSD files (2 columns:
+    # f [Hz], S_n [1/Hz]; .txt/.csv/.npz with arrays "f","psd") replacing the
+    # analytic design curves for real sensitivity studies
+    psd_files: Optional[Dict[str, str]] = None
 
 
 @dataclass

@@ -200,6 +200,24 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
 # ----------------------------------------------------------------------- mock
 
 
+def _load_psds(psd_files):
+    """{det: path} of tabulated (f, S_n) curves -> {det: psd callable}."""
+    if not psd_files:
+        return None
+    from bumpcosmology_tpu.mock.psd import tabulated_psd
+
+    psds = {}
+    for det, path in psd_files.items():
+        if str(path).endswith(".npz"):
+            with np.load(path) as d:
+                f, v = np.asarray(d["f"]), np.asarray(d["psd"])
+        else:
+            arr = np.loadtxt(path, delimiter="," if str(path).endswith(".csv") else None)
+            f, v = arr[:, 0], arr[:, 1]
+        psds[det] = tabulated_psd(f, v)
+    return psds
+
+
 def _stage_mock_injections(cfg: PipelineConfig):
     from bumpcosmology_tpu.mock import campaign_summary, draw_injection_campaign
 
@@ -209,6 +227,7 @@ def _stage_mock_injections(cfg: PipelineConfig):
         z_horizon=cfg.mock.z_horizon,
         chirp_dist_min=cfg.mock.chirp_dist_min,
         snr_chunk=cfg.mock.snr_chunk,
+        psds=_load_psds(cfg.mock.psd_files),
     )
     write_table(cfg.paths.path("mock_injections.h5"), inj, key="true_parameters")
     stats = campaign_summary(inj, threshold=cfg.mock.detection_snr)
@@ -296,7 +315,7 @@ def _stage_sbc(cfg: PipelineConfig):
         make_mock_pop_simulator,
         make_pop_cosmo_sbc_spec_builder,
         make_pop_sbc_spec_builder,
-        run_sbc,
+        run_sbc_fleet,
         sbc_uniformity_pvalues,
     )
     from bumpcosmology_tpu.mock import add_observation_noise, draw_injection_campaign
@@ -305,23 +324,42 @@ def _stage_sbc(cfg: PipelineConfig):
     inj = draw_injection_campaign(ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk)
     obs = add_observation_noise(inj, seed=c.seed + 1, threshold=c.threshold)
     if c.model == "pop_cosmo":
+        from bumpcosmology_tpu.inference.likelihoods import (
+            dl_bounds_of,
+            pop_cosmo_loglike,
+        )
+
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
         simulate = make_mock_pop_cosmo_simulator(
             obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp,
             nsel=max(c.nsel, 2048), seed=c.seed + 2,
         )
-        builder = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+        proto = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)(None)
+
+        def make_loglike(datas):
+            bounds = dl_bounds_of(datas, margin=0.1)
+            return lambda sites, d: pop_cosmo_loglike(
+                sites, d, cfg.fit.n_grid, cfg.fit.n_z, bounds
+            )
+
     elif c.model == "pop":
+        from bumpcosmology_tpu.inference.likelihoods import pop_loglike
+
         simulate = make_mock_pop_simulator(
             obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
             seed=c.seed + 2,
         )
-        builder = make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid)
+        proto = make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid)(None)
+
+        def make_loglike(datas):
+            return lambda sites, d: pop_loglike(sites, d, cfg.fit.n_grid)
+
     else:
         raise ValueError(f"unknown sbc model {c.model!r}; use 'pop' or 'pop_cosmo'")
-    ranks = run_sbc(
-        builder,
+    ranks = run_sbc_fleet(
+        proto,
+        make_loglike,
         simulate,
         n_sims=c.n_sims,
         key=jax.random.PRNGKey(c.seed + 3),

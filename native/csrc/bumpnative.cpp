@@ -43,14 +43,19 @@ constexpr Poly3 kFRing{5.9411e-1, 8.9794e-2, 1.9111e-1};
 constexpr Poly3 kSigma{5.0801e-1, 7.7515e-2, 2.2369e-2};
 constexpr Poly3 kFCut{8.4845e-1, 1.2848e-1, 2.7299e-1};
 
-// aLIGO design analytic fit (Ajith 2011): physical S_n(f) [1/Hz].
+// aLIGO design analytic fit (Ajith 2011), amplitude-calibrated to the
+// published P1200087 BNS range (kAligoRangeCalibration = (220/181)^2 —
+// must match bumpcosmology_tpu/mock/psd.py::_ALIGO_RANGE_CALIBRATION).
+constexpr double kAligoRangeCalibration = (220.0 / 181.0) * (220.0 / 181.0);
+
 double aligo_psd(double f, double f_low) {
   if (f < f_low) return INFINITY;
   const double x = f / 215.0;
   const double x2 = x * x;
   const double s =
-      1e-49 * (std::pow(x, -4.14) - 5.0 / x2 +
-               111.0 * (1.0 - x2 + 0.5 * x2 * x2) / (1.0 + 0.5 * x2));
+      1e-49 * kAligoRangeCalibration *
+      (std::pow(x, -4.14) - 5.0 / x2 +
+       111.0 * (1.0 - x2 + 0.5 * x2 * x2) / (1.0 + 0.5 * x2));
   return s > 0 ? s : INFINITY;
 }
 

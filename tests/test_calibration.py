@@ -109,3 +109,34 @@ def test_sbc_harness_joint_model_smoke():
     for site in ("h", "Om", "w", "mpisn"):
         assert site in ranks
         assert np.all((ranks[site] >= 0) & (ranks[site] < n_bins))
+
+
+@pytest.mark.slow
+def test_run_sbc_fleet_joint_model_smoke():
+    """Vectorized fleet SBC (one compile for all sims) on the joint model."""
+    from bumpcosmology_tpu.inference.calibration import run_sbc_fleet
+    from bumpcosmology_tpu.inference.likelihoods import dl_bounds_of, pop_cosmo_loglike
+
+    inj = draw_injection_campaign(ndraw=30_000, seed=35, snr_chunk=8192)
+    obs = add_observation_noise(inj, seed=36, threshold=20.0)
+    simulate = make_mock_pop_cosmo_simulator(
+        obs, n_total_injections=len(inj), nobs=4, nsamp=16,
+        nsel=min(32, len(obs)), pe_bank_size=256, seed=37,
+    )
+    proto = make_pop_cosmo_sbc_spec_builder(n_grid=64, n_z=128)(None)
+
+    def make_loglike(datas):
+        bounds = dl_bounds_of(datas, margin=0.1)
+        return lambda sites, d: pop_cosmo_loglike(sites, d, 64, 128, bounds)
+
+    ranks = run_sbc_fleet(
+        proto, make_loglike, simulate, n_sims=4,
+        key=jax.random.PRNGKey(38), num_warmup=75, num_samples=48, thin=4,
+        verbose=False,
+    )
+    n_bins = int(ranks["__n_bins__"])
+    assert n_bins == 48 // 4 + 1
+    for site in ("h", "Om", "w", "mpisn", "sigma"):
+        assert ranks[site].shape == (4,)
+        assert np.all((ranks[site] >= 0) & (ranks[site] < n_bins))
+    assert "R_unit" not in ranks
