@@ -30,7 +30,10 @@ _DH = HUBBLE_DISTANCE_H / PLANCK18.h  # Gpc
 
 def planck18_efunc_np(z):
     opz = 1.0 + np.asarray(z, dtype=np.float64)
-    return np.sqrt(PLANCK18.Om * opz**3 + (1.0 - PLANCK18.Om))
+    # full flat-wCDM E(z); for PLANCK18 (w = -1) the DE term reduces to a
+    # constant, but don't bake that in lest the fiducial constants change
+    de = (1.0 - PLANCK18.Om) * opz ** (3.0 * (1.0 + PLANCK18.w))
+    return np.sqrt(PLANCK18.Om * opz**3 + de)
 
 
 def planck18_dc_np(z):

@@ -60,10 +60,6 @@ class CheesConfig(NamedTuple):
     da_gamma: float = 0.05
     da_t0: float = 10.0
     da_kappa: float = 0.75
-    # alias so _da_update can be shared with the NUTS config
-    @property
-    def max_depth(self):  # pragma: no cover - unused, API symmetry
-        return 0
 
 
 class _AdamState(NamedTuple):

@@ -130,13 +130,11 @@ def _bwd_kernel(scal_ref, logdn_ref, g_ref, out_ref):
         )
     ) + g_sum * (dmco_dmbhmax * (g_len - 1.0) / ((g_len - 1.0) * dmco))
 
-    zeros = jnp.zeros((1, 8), dtype=dtype)
-    out = zeros.at[0, 0].set(da)
-    out = out.at[0, 1].set(db)
-    out = out.at[0, 2].set(dmp)
-    out = out.at[0, 3].set(dmb)
-    out = out.at[0, 4].set(dsig)
-    out_ref[:, :] = out
+    # assemble the (1, 8) gradient row with iota masks (no scatter in Mosaic)
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+    out_ref[:, :] = (
+        da * (k == 0) + db * (k == 1) + dmp * (k == 2) + dmb * (k == 3) + dsig * (k == 4)
+    ).astype(dtype)
 
 
 def _pack_scalars(a, b, mpisn, mbhmax, sigma, n_grid, dtype):

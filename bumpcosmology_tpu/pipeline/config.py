@@ -25,7 +25,11 @@ class PathsConfig:
     injection_file: str = "data/endo3_bbhpop-LIGO-T2100113-v12.hdf5"
 
     def path(self, name: str) -> Path:
-        return Path(self.data_dir) / name
+        """Artifact path under ``data_dir`` (created on first use — stages
+        must be able to write into a fresh checkout)."""
+        d = Path(self.data_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        return d / name
 
 
 @dataclass

@@ -19,7 +19,7 @@ from typing import Dict, Optional
 import h5py
 import numpy as np
 
-__all__ = ["save_trace", "load_trace", "Trace"]
+__all__ = ["save_trace", "load_trace", "Trace", "to_arviz", "export_netcdf", "site_dims"]
 
 
 class Trace:
@@ -73,3 +73,59 @@ def load_trace(path) -> Trace:
         coords = {k: np.asarray(v) for k, v in f.get("coords", {}).items()}
         attrs = {k: str(v) for k, v in f.attrs.items()}
     return Trace(posterior, stats, coords, attrs)
+
+
+# ---------------------------------------------------------------- arviz bridge
+
+#: dims metadata for vector sites (used by the arviz export; the axes are the
+#: posterior-predictive COORDS grids of ``models/population.py``)
+SITE_DIMS = {
+    "mdNdmdVdt_fixed_qz": ["m_grid"],
+    "dNdqdVdt_fixed_mz": ["q_grid"],
+    "dNdVdt_fixed_mq": ["z_grid"],
+    "hz": ["z_grid"],
+    "neff": ["event"],
+}
+
+
+def site_dims(trace: "Trace") -> Dict[str, list]:
+    """Per-site trailing-dimension names for sites present in ``trace``."""
+    out = {}
+    for name, v in trace.posterior.items():
+        if np.ndim(v) > 2:
+            out[name] = SITE_DIMS.get(name, [f"{name}_dim0"])
+    return out
+
+
+def to_arviz(trace: "Trace"):
+    """Convert to an ``arviz.InferenceData`` (optional dependency).
+
+    The reference's outputs are arviz NetCDF traces (``run_fit.py:41-42``);
+    users with an existing arviz workflow can round-trip through this bridge.
+    arviz is intentionally not a hard dependency of the framework.
+    """
+    try:
+        import arviz as az
+    except ImportError as err:  # pragma: no cover - exercised only with arviz
+        raise ImportError(
+            "arviz is not installed. The native trace format is plain HDF5 "
+            "(save_trace/load_trace; layout documented in utils/trace.py); "
+            "install arviz to export InferenceData/NetCDF."
+        ) from err
+
+    coords = {k: np.asarray(v) for k, v in trace.coords.items()}
+    nobs = None
+    if "neff" in trace.posterior and np.ndim(trace.posterior["neff"]) == 3:
+        nobs = trace.posterior["neff"].shape[-1]
+        coords.setdefault("event", np.arange(nobs))
+    return az.from_dict(
+        posterior=trace.posterior,
+        sample_stats=trace.sample_stats or None,
+        coords=coords,
+        dims=site_dims(trace),
+    )
+
+
+def export_netcdf(path, trace: "Trace") -> None:
+    """Write an arviz-compatible NetCDF file (requires arviz)."""
+    to_arviz(trace).to_netcdf(str(path))

@@ -51,11 +51,13 @@ def test_sharded_pop_loglike_matches_dense(cpu_devices):
 
 
 def test_sharded_pop_loglike_grad_matches_dense(cpu_devices):
+    # n_grid=64 keeps the (slow-to-compile) grad-of-shard_map program small;
+    # the collective-gradient path is identical at any grid size
     sites, data = _sites(seed=1)
     mesh = make_mesh(devices=cpu_devices[:8])
-    sharded_fn = make_sharded_pop_loglike(mesh, data)
+    sharded_fn = make_sharded_pop_loglike(mesh, data, n_grid=64)
 
-    g_dense = jax.grad(lambda s: pop_loglike(s, data))(sites)
+    g_dense = jax.grad(lambda s: pop_loglike(s, data, 64))(sites)
     g_shard = jax.grad(lambda s: sharded_fn(s, data))(sites)
     for k in g_dense:
         np.testing.assert_allclose(

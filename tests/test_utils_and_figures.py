@@ -160,3 +160,32 @@ def test_sbc_ranks_figure_renders(tmp_path):
             g2.attrs[site] = 0.5
     out = sbc_ranks_hist(path, out=tmp_path / "sbc_ranks.pdf")
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_arviz_bridge_dims_and_gating(tmp_path):
+    """site_dims maps vector sites to their COORDS axes; without arviz the
+    export raises a helpful ImportError (arviz is an optional dependency)."""
+    from bumpcosmology_tpu.utils.trace import Trace, site_dims, to_arviz
+
+    rng = np.random.default_rng(0)
+    tr = Trace(
+        posterior={
+            "h": rng.normal(size=(2, 10)),
+            "mdNdmdVdt_fixed_qz": rng.normal(size=(2, 10, 128)),
+            "neff": rng.normal(size=(2, 10, 7)),
+        },
+        coords={"m_grid": np.linspace(5, 150, 128)},
+    )
+    dims = site_dims(tr)
+    assert dims == {"mdNdmdVdt_fixed_qz": ["m_grid"], "neff": ["event"]}
+
+    try:
+        import arviz  # noqa: F401
+
+        idata = to_arviz(tr)
+        assert "posterior" in idata.groups()
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="arviz"):
+            to_arviz(tr)
