@@ -15,7 +15,7 @@ from bumpcosmology_tpu.pipeline.config import PipelineConfig
 from bumpcosmology_tpu.pipeline.stages import build_pipeline
 
 GROUPS = {
-    "all": ["sample", "sample_cosmo", "figures"],
+    "all": ["sample", "sample_cosmo", "figures", "report"],
     "mock": ["mock_year_samples"],
 }
 

@@ -391,6 +391,16 @@ def _stage_figures(cfg: PipelineConfig):
     print(f"[figures] wrote {len(made)} figure(s)")
 
 
+def _stage_report(cfg: PipelineConfig):
+    """Compile the manuscript-layer report (ms.tex / ms.md / report.pdf) —
+    the reference's showyourwork/tectonic build analog (``ms.tex``,
+    ``showyourwork.yml:97-111``)."""
+    from bumpcosmology_tpu.figures.report import generate_report
+
+    out = generate_report(cfg, out_dir=Path(cfg.paths.data_dir) / "report")
+    print(f"[report] wrote {', '.join(str(v) for v in out.values())}")
+
+
 # ------------------------------------------------------------------- assembly
 
 
@@ -466,6 +476,13 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 lambda: _stage_figures(cfg),
                 inputs=[p("trace.h5"), p("trace_cosmo.h5")],
                 outputs=[],
+            ),
+            Stage(
+                "report",
+                lambda: _stage_report(cfg),
+                inputs=[p("trace.h5"), p("trace_cosmo.h5")],
+                outputs=[],
+                after=["figures"],
             ),
         ]
     )

@@ -22,9 +22,9 @@ cfg.sbc.model = "pop_cosmo"
 cfg.sbc.n_sims = 128
 cfg.sbc.nobs = 16
 cfg.sbc.nsamp = 64
-cfg.sbc.nsel = 2048
-cfg.sbc.campaign_ndraw = 400_000
-cfg.sbc.num_warmup = 300
+cfg.sbc.nsel = 6144
+cfg.sbc.campaign_ndraw = 2_000_000
+cfg.sbc.num_warmup = 400
 cfg.sbc.num_samples = 256
 cfg.sbc.thin = 4
 cfg.sbc.threshold = 20.0

@@ -189,3 +189,38 @@ def test_arviz_bridge_dims_and_gating(tmp_path):
 
         with _pytest.raises(ImportError, match="arviz"):
             to_arviz(tr)
+
+
+def test_report_stage_compiles_manuscript_analog(tmp_path):
+    """The report stage (manuscript-layer analog) produces ms.tex, ms.md and
+    a compiled report.pdf from whatever artifacts exist."""
+    from bumpcosmology_tpu.figures.report import generate_report
+    from bumpcosmology_tpu.models.population import COORDS
+    from bumpcosmology_tpu.pipeline.config import PipelineConfig
+
+    rng = np.random.default_rng(2)
+    nc, nd = 2, 40
+    post = {
+        k: rng.normal(loc, scale, size=(nc, nd))
+        for k, (loc, scale) in {
+            "h": (0.7, 0.05), "Om": (0.3, 0.05), "w": (-1.0, 0.1),
+            "mpisn": (31, 2), "mbhmax": (36, 2), "sigma": (2.3, 0.4),
+        }.items()
+    }
+    post["mdNdmdVdt_fixed_qz"] = np.abs(rng.normal(1.0, 0.2, size=(nc, nd, 128)))
+    tr = Trace(post, coords=COORDS)
+
+    cfg = PipelineConfig()
+    cfg.paths.data_dir = str(tmp_path / "data")
+    save_trace(cfg.paths.path("trace.h5"), tr)
+    save_trace(cfg.paths.path("trace_cosmo.h5"), tr)
+
+    out = generate_report(cfg, out_dir=tmp_path / "report")
+    for k in ("tex", "md", "pdf"):
+        assert out[k].exists() and out[k].stat().st_size > 0
+
+    tex = out["tex"].read_text()
+    assert "\\includegraphics" in tex and "Posterior summary" in tex
+    assert "\\documentclass" in tex
+    md = out["md"].read_text()
+    assert "| site |" in md and "cosmo_params_corner" in md
