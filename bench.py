@@ -125,7 +125,11 @@ def bench_accel(platform: str):
 
     from bumpcosmology_tpu.inference.nuts import NutsConfig, run_sampling
 
-    warmup_path = WARMUP16 if WARMUP16.exists() else WARMUP
+    # CPU-only runs (CI smoke) use the 4-chain state and a short phase;
+    # the 16-chain 400-draw configuration is for the accelerator.
+    on_cpu = platform == "cpu"
+    warmup_path = WARMUP if on_cpu or not WARMUP16.exists() else WARMUP16
+    n_draws = 50 if on_cpu else N_ACCEL_DRAWS
     spec, potential, warm = _prepare(platform, warmup_path)
     n_chains = int(np.asarray(warm.eps).shape[0])
     cfg = NutsConfig()
@@ -136,11 +140,11 @@ def bench_accel(platform: str):
     jax.block_until_ready(out[0])
 
     t0 = time.perf_counter()
-    thetas, stats, _ = run_sampling(potential, warm, key, N_ACCEL_DRAWS, cfg)
+    thetas, stats, _ = run_sampling(potential, warm, key, n_draws, cfg)
     jax.block_until_ready(thetas)
     dt = time.perf_counter() - t0
 
-    total = n_chains * N_ACCEL_DRAWS
+    total = n_chains * n_draws
     min_ess = _min_ess(spec, thetas)
     depth = float(np.median(np.asarray(stats.tree_depth)))
     log(

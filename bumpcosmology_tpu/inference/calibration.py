@@ -290,7 +290,7 @@ def make_mock_pop_simulator(
         if not np.isfinite(total) or total <= 0:
             wt = valid.astype(float)
             total = wt.sum()
-        picks = rng.choice(len(obs), size=nobs, replace=False, p=wt / total)
+        picks = rng.choice(len(obs), size=nobs, replace=True, p=wt / total)
         stacks = [np.stack([banks[i][j] for i in picks]) for j in range(4)]
         return make_pop_data(*stacks, *sel_arrays)
 
@@ -403,7 +403,11 @@ def make_mock_pop_cosmo_simulator(
         if not np.isfinite(total) or total <= 0:
             wt = valid.astype(float)
             total = wt.sum()
-        picks = rng.choice(len(obs), size=nobs, replace=False, p=wt / total)
+        # iid events (with replacement): the model's likelihood treats events
+        # as iid draws from the normalized detected intensity; weighted
+        # without-replacement sampling distorts catalogs whenever θ
+        # concentrates weight on few pool injections (high-λ prior tails)
+        picks = rng.choice(len(obs), size=nobs, replace=True, p=wt / total)
         stacks = [np.stack([banks[i][j] for i in picks]) for j in range(4)]
         return make_pop_cosmo_data(*stacks, *sel_arrays)
 

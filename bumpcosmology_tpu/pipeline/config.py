@@ -95,6 +95,10 @@ class SBCConfig:
     num_samples: int = 256
     thin: int = 4
     threshold: float = 20.0
+    # cap on the detected-injection pool backing events/banks (uniform
+    # thinning with Ndraw rescaled — bounds the host-side bank building at
+    # low detection thresholds)
+    pool_max: Optional[int] = None
     seed: int = 424242
 
 

@@ -323,6 +323,16 @@ def _stage_sbc(cfg: PipelineConfig):
     c = cfg.sbc
     inj = draw_injection_campaign(ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk)
     obs = add_observation_noise(inj, seed=c.seed + 1, threshold=c.threshold)
+    n_total = float(len(inj))
+    if c.pool_max and len(obs) > c.pool_max:
+        # uniform thinning of the detected pool; Ndraw scales by the kept
+        # fraction so the selection estimator stays unbiased
+        frac = c.pool_max / len(obs)
+        rng_pool = np.random.default_rng(c.seed + 5)
+        keep = rng_pool.choice(len(obs), size=c.pool_max, replace=False)
+        obs = obs.iloc[keep].reset_index(drop=True)
+        n_total = n_total * frac
+        print(f"[sbc] detected pool thinned to {len(obs)} (Ndraw_eff {n_total:.0f})")
     if c.model == "pop_cosmo":
         from bumpcosmology_tpu.inference.likelihoods import (
             dl_bounds_of,
@@ -332,7 +342,7 @@ def _stage_sbc(cfg: PipelineConfig):
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
         simulate = make_mock_pop_cosmo_simulator(
-            obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp,
+            obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp,
             nsel=max(c.nsel, 2048), seed=c.seed + 2,
         )
         proto = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)(None)
@@ -347,7 +357,7 @@ def _stage_sbc(cfg: PipelineConfig):
         from bumpcosmology_tpu.inference.likelihoods import pop_loglike
 
         simulate = make_mock_pop_simulator(
-            obs, n_total_injections=len(inj), nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
+            obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
             seed=c.seed + 2,
         )
         proto = make_pop_sbc_spec_builder(n_grid=cfg.fit.n_grid)(None)

@@ -17,6 +17,8 @@ set_default_method("matmul" if jax.devices()[0].platform in ("tpu", "axon") else
 from bumpcosmology_tpu.pipeline.config import PipelineConfig
 from bumpcosmology_tpu.pipeline.stages import _stage_sbc
 
+import numpy as np
+
 cfg = PipelineConfig()
 cfg.sbc.model = "pop_cosmo"
 cfg.sbc.n_sims = 128
@@ -27,7 +29,8 @@ cfg.sbc.campaign_ndraw = 2_000_000
 cfg.sbc.num_warmup = 400
 cfg.sbc.num_samples = 256
 cfg.sbc.thin = 4
-cfg.sbc.threshold = 20.0
+cfg.sbc.threshold = 10.0
+cfg.sbc.pool_max = 8000
 cfg.fit.n_grid = 128
 cfg.fit.n_z = 256
 
