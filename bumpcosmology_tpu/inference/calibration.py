@@ -43,6 +43,7 @@ __all__ = [
     "run_sbc_fleet",
     "make_mock_pop_simulator",
     "make_mock_pop_cosmo_simulator",
+    "make_mock_pop_cosmo_simulator_fresh",
     "make_pop_sbc_spec_builder",
     "make_pop_cosmo_sbc_spec_builder",
     "sbc_uniformity_pvalues",
@@ -114,6 +115,8 @@ def run_sbc_fleet(
     skip_sites: Sequence[str] = ("R_unit",),
     seed: int = 0,
     verbose: bool = True,
+    cfg=None,
+    chunk_size: int = 25,
 ) -> Dict[str, np.ndarray]:
     """SBC with all simulations fit AS ONE vectorized fleet (one compile).
 
@@ -178,9 +181,12 @@ def run_sbc_fleet(
             if done % 100 == 0 or done == total:
                 print(f"[sbc/fleet] {phase} {done}/{total}", flush=True)
 
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+
     res = fleet_fit(
         make_pot, datas, theta0, k_fit,
         num_warmup=num_warmup, num_samples=num_samples, progress=progress,
+        cfg=cfg or NutsConfig(), chunk_size=chunk_size,
     )
     assert np.all(np.isfinite(np.asarray(res.thetas))), "non-finite fleet draws"
 
@@ -241,6 +247,18 @@ def make_mock_pop_simulator(
     obs = detected_obs.reset_index(drop=True)
 
     # θ-independent selection set (uniform thinning: Ndraw scales with it)
+    if nsel > len(obs):
+        print(
+            f"[sbc] WARNING: requested nsel={nsel} exceeds the detected pool "
+            f"({len(obs)}); clamping — selection-MC noise will be higher than "
+            "configured (grow the campaign to actually get nsel injections)"
+        )
+    if nsel > len(obs):
+        print(
+            f"[sbc] WARNING: requested nsel={nsel} exceeds the detected pool "
+            f"({len(obs)}); clamping — selection-MC noise will be higher than "
+            "configured (grow the campaign to actually get nsel injections)"
+        )
     nsel = min(nsel, len(obs))
     sel_idx = rng0.choice(len(obs), size=nsel, replace=False)
     sel = obs.iloc[sel_idx]
@@ -365,24 +383,43 @@ def make_mock_pop_cosmo_simulator(
         float(n_total_injections) * (nsel / len(obs)),
     )
 
-    banks = []
-    for _, row in obs.iterrows():
-        m1d, q, dl, w = draw_mock_pe_samples(
-            row["log_mc_obs"], row["sigma_log_mc"],
-            row["q_obs"], row["sigma_q"],
-            row["log_dl_obs"], row["sigma_log_dl"],
-            size=pe_bank_size, output_source_frame=False, rng=rng0,
+    # Build every bank in one vectorized pass: the Gaussian measurement law
+    # broadcasts over (events, bank) and the fiducial weight is ONE batched
+    # device call instead of one eager call per event (the per-event loop
+    # took ~30 min at an 8000-injection pool; this takes seconds).
+    n_ev = len(obs)
+    m1d_b, q_b, dl_b, w_b = draw_mock_pe_samples(
+        obs["log_mc_obs"].to_numpy()[:, None], obs["sigma_log_mc"].to_numpy()[:, None],
+        obs["q_obs"].to_numpy()[:, None], obs["sigma_q"].to_numpy()[:, None],
+        obs["log_dl_obs"].to_numpy()[:, None], obs["sigma_log_dl"].to_numpy()[:, None],
+        size=(n_ev, pe_bank_size), output_source_frame=False, rng=rng0,
+    )
+    z_b = planck18_z_of_dl_np(dl_b)
+    m1_b = m1d_b / (1.0 + z_b)
+    p_fid_det = np.empty_like(m1_b)
+    chunk = max(1, 4_000_000 // pe_bank_size)
+    for lo in range(0, n_ev, chunk):
+        sl = slice(lo, lo + chunk)
+        p_fid_det[sl] = default_pop_wt(m1_b[sl], q_b[sl], z_b[sl]) * dm1sqz_dm1ddqdl(
+            m1_b[sl], q_b[sl], z_b[sl]
         )
-        z = planck18_z_of_dl_np(dl)
-        m1 = m1d / (1.0 + z)
-        p_fid_det = default_pop_wt(m1, q, z) * dm1sqz_dm1ddqdl(m1, q, z)
-        rw = p_fid_det / w
-        total = np.sum(rw)
-        if not np.isfinite(total) or total <= 0:
+    rw_b = p_fid_det / w_b
+    banks = []
+    n_low = 0
+    for e in range(n_ev):
+        total = np.sum(rw_b[e])
+        # bank Neff floor (the reference's ingestion rejection, weighting.py:98-100):
+        # a bank whose retarget weights are heavy-tailed cannot represent
+        # L x p_fid and would corrupt the per-event marginal estimator
+        neff = total * total / np.sum(rw_b[e] * rw_b[e]) if total > 0 else 0.0
+        if not np.isfinite(total) or total <= 0 or neff < 2.0 * nsamp:
             banks.append(None)
+            n_low += 1
             continue
-        pick = rng0.choice(pe_bank_size, size=nsamp, p=rw / total)
-        banks.append((m1d[pick], q[pick], dl[pick], p_fid_det[pick]))
+        pick = rng0.choice(pe_bank_size, size=nsamp, p=rw_b[e] / total)
+        banks.append((m1d_b[e, pick], q_b[e, pick], dl_b[e, pick], p_fid_det[e, pick]))
+    if n_low:
+        print(f"[sbc] {n_low}/{n_ev} pool injections rejected at the bank-Neff floor")
 
     valid = np.array([b is not None for b in banks])
     j_m1d = jnp.asarray(inj_m1d)
@@ -410,6 +447,131 @@ def make_mock_pop_cosmo_simulator(
         picks = rng.choice(len(obs), size=nobs, replace=True, p=wt / total)
         stacks = [np.stack([banks[i][j] for i in picks]) for j in range(4)]
         return make_pop_cosmo_data(*stacks, *sel_arrays)
+
+    return simulate
+
+
+def make_mock_pop_cosmo_simulator_fresh(
+    campaign,
+    nobs: int = 16,
+    nsamp: int = 64,
+    nsel: int = 4096,
+    pe_bank_size: int = 4096,
+    threshold: float = 20.0,
+    obs_sigma: float = None,
+):
+    """Joint-model simulator with per-simulation FRESH noise (exact SBC law).
+
+    :func:`make_mock_pop_cosmo_simulator` shares one observation-noise and
+    PE-bank realization across every simulation.  That is efficient, but the
+    shared realization acts as a *common-mode* likelihood tilt that does not
+    average out over simulations — and the rank test feels it first in the
+    most weakly identified direction (measured: a persistent one-sided λ
+    rank bias that survives every MC-size increase, while all sharper sites
+    pass).  Here every simulation redraws:
+
+    * the observed detection SNRs (→ its own detected pool),
+    * the fixed-size selection subset (which then also serves as the event
+      pool, so the selection normalizer is exact for the per-sim discrete
+      generative law),
+    * the observed data and PE banks of its ``nobs`` selected events only
+      (16 × bank_size work — cheap because banks are no longer shared).
+
+    ``campaign``: the injection DataFrame WITH true SNR columns (θ- and
+    noise-independent, computed once).
+    """
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.data.weights import (
+        default_pop_wt,  # noqa: F401  (parity with the shared-bank factory)
+        dm1sqz_dm1ddqdl,
+        planck18_dl_np,
+        planck18_z_of_dl_np,
+    )
+    from bumpcosmology_tpu.inference.likelihoods import (
+        _cosmo_frame_logwts,
+        cosmo_from_sites,
+        make_pop_cosmo_data,
+    )
+    from bumpcosmology_tpu.mock.catalog import Uncertainties, draw_mock_pe_samples
+    from bumpcosmology_tpu.models.cosmology import build_cosmology
+
+    snr = campaign["SNR"].to_numpy()
+    m1 = campaign["m1"].to_numpy()
+    q = campaign["q"].to_numpy()
+    z = campaign["z"].to_numpy()
+    pdraw_src = campaign["pdraw_mqz"].to_numpy()
+    n_total = float(len(campaign))
+
+    m1d = m1 * (1.0 + z)
+    dl = planck18_dl_np(z)
+    pdraw_det = pdraw_src * dm1sqz_dm1ddqdl(m1, q, z)
+    mc_det = m1d * q**0.6 / (1.0 + q) ** 0.2
+    log_mc_det = np.log(mc_det)
+    log_dl = np.log(dl)
+
+    # only injections that can plausibly detect matter for the noise draw
+    cand = np.flatnonzero(snr > threshold - 6.0 * _math.sqrt(3.0))
+
+    def simulate(rng: np.random.Generator, sites):
+        # fresh detection realization (mock_observations.py:34 semantics)
+        snr_obs = snr[cand] + rng.normal(0.0, _math.sqrt(3.0), size=len(cand))
+        det = cand[snr_obs > threshold]
+        snr_obs = snr_obs[snr_obs > threshold]
+        if len(det) < nsel:
+            raise ValueError(
+                f"only {len(det)} detections at threshold {threshold}; "
+                "increase the campaign or lower nsel"
+            )
+        # fixed-size selection subset == the event pool (exact normalizer)
+        pick_sel = rng.choice(len(det), size=nsel, replace=False)
+        pool = det[pick_sel]
+        pool_snr_obs = snr_obs[pick_sel]
+        ndraw_eff = n_total * (nsel / len(det))
+
+        pop = build_population(population_from_sites(sites))
+        cosmo = build_cosmology(cosmo_from_sites(sites))
+        logwt = np.asarray(
+            _cosmo_frame_logwts(
+                pop, cosmo,
+                jnp.asarray(m1d[pool]), jnp.asarray(q[pool]), jnp.asarray(dl[pool]),
+                jnp.asarray(np.log(pdraw_det[pool])),
+            ),
+            dtype=np.float64,
+        )
+        logwt = np.where(np.isfinite(logwt), logwt, -np.inf)
+        wt = np.exp(logwt - np.max(logwt))
+        events = rng.choice(nsel, size=nobs, replace=True, p=wt / wt.sum())
+        ev = pool[events]
+
+        # fresh observed data + PE banks for just these events
+        unc = Uncertainties.from_snr(pool_snr_obs[events])
+        lmc_obs = rng.normal(log_mc_det[ev], unc.sigma_log_mc)
+        q_obs = rng.normal(q[ev], unc.sigma_q)
+        ldl_obs = rng.normal(log_dl[ev], unc.sigma_log_dl)
+        m1d_b, q_b, dl_b, w_b = draw_mock_pe_samples(
+            lmc_obs[:, None], unc.sigma_log_mc[:, None],
+            q_obs[:, None], unc.sigma_q[:, None],
+            ldl_obs[:, None], unc.sigma_log_dl[:, None],
+            size=(nobs, pe_bank_size), rng=rng,
+        )
+        z_b = planck18_z_of_dl_np(dl_b)
+        m1_b = m1d_b / (1.0 + z_b)
+        p_fid = default_pop_wt(m1_b, q_b, z_b) * dm1sqz_dm1ddqdl(m1_b, q_b, z_b)
+        rw = p_fid / w_b
+        stacks = [np.empty((nobs, nsamp)) for _ in range(4)]
+        for e in range(nobs):
+            pick = rng.choice(pe_bank_size, size=nsamp, p=rw[e] / rw[e].sum())
+            stacks[0][e] = m1d_b[e, pick]
+            stacks[1][e] = q_b[e, pick]
+            stacks[2][e] = dl_b[e, pick]
+            stacks[3][e] = p_fid[e, pick]
+
+        return make_pop_cosmo_data(
+            *stacks, m1d[pool], q[pool], dl[pool], pdraw_det[pool], ndraw=ndraw_eff
+        )
 
     return simulate
 

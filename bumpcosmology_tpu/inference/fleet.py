@@ -86,12 +86,18 @@ def fleet_fit(
     num_samples: int = 256,
     cfg: N.NutsConfig = N.NutsConfig(),
     progress=None,
+    chunk_size: int = _CHUNK,
 ) -> FleetResult:
     """Run ``S`` independent single-chain NUTS fits in lockstep.
 
     ``make_pot(data_slice) -> potential(theta)`` builds the potential from one
     dataset slice *inside* vmap (traced, not static); ``datas`` is a pytree
     stacked on the leading fleet axis; ``theta0`` is (S, dim).
+
+    ``chunk_size`` bounds steps per XLA execution: on deadline-limited remote
+    TPUs a wide fleet in early warmup (deep lockstep trees) can exceed the
+    per-execution budget at the default 25 — drop to ~5 and cap
+    ``cfg.max_depth`` (~8) for big fleets.
     """
     n_sims, dim = theta0.shape
     dtype = theta0.dtype
@@ -118,7 +124,7 @@ def fleet_fit(
     for n_steps, update_mass in N.warmup_schedule(num_warmup):
         left = n_steps
         while left > 0:
-            n = min(_CHUNK, left)
+            n = min(chunk_size, left)
             k_warm, k = jax.random.split(k_warm)
             state, da, wf, accept = warmup_chunk(datas, state, cov, chol, da, wf, k, n)
             left -= n
@@ -136,7 +142,7 @@ def fleet_fit(
     theta_chunks, accept_chunks = [], []
     drawn = 0
     while drawn < num_samples:
-        n = min(_CHUNK, num_samples - drawn)
+        n = min(chunk_size, num_samples - drawn)
         k_sample, k = jax.random.split(k_sample)
         state, thetas, accept = sample_chunk(datas, state, eps_final, cov, chol, k, n)
         theta_chunks.append(thetas)

@@ -99,6 +99,16 @@ class SBCConfig:
     # thinning with Ndraw rescaled — bounds the host-side bank building at
     # low detection thresholds)
     pool_max: Optional[int] = None
+    pe_bank_size: int = 4096  # Gaussian draws per per-injection PE bank
+    # per-simulation fresh observation noise + banks (exact SBC law; the
+    # shared-bank fast path leaves a common-mode tilt in weakly identified
+    # directions) — applies to the pop_cosmo model
+    fresh_noise: bool = True
+    # fleet execution bounds: per-XLA-call step chunk and NUTS depth cap —
+    # a wide fleet in early warmup (deep lockstep trees) must stay under the
+    # ~60 s remote-TPU execution deadline
+    fleet_chunk: int = 5
+    max_depth: int = 8
     seed: int = 424242
 
 

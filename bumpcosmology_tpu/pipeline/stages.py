@@ -334,6 +334,9 @@ def _stage_sbc(cfg: PipelineConfig):
         n_total = n_total * frac
         print(f"[sbc] detected pool thinned to {len(obs)} (Ndraw_eff {n_total:.0f})")
     if c.model == "pop_cosmo":
+        from bumpcosmology_tpu.inference.calibration import (
+            make_mock_pop_cosmo_simulator_fresh,
+        )
         from bumpcosmology_tpu.inference.likelihoods import (
             dl_bounds_of,
             pop_cosmo_loglike,
@@ -341,10 +344,16 @@ def _stage_sbc(cfg: PipelineConfig):
 
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
-        simulate = make_mock_pop_cosmo_simulator(
-            obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp,
-            nsel=max(c.nsel, 2048), seed=c.seed + 2,
-        )
+        if c.fresh_noise:
+            simulate = make_mock_pop_cosmo_simulator_fresh(
+                inj, nobs=c.nobs, nsamp=c.nsamp, nsel=max(c.nsel, 2048),
+                pe_bank_size=c.pe_bank_size, threshold=c.threshold,
+            )
+        else:
+            simulate = make_mock_pop_cosmo_simulator(
+                obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp,
+                nsel=max(c.nsel, 2048), pe_bank_size=c.pe_bank_size, seed=c.seed + 2,
+            )
         proto = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)(None)
 
         def make_loglike(datas):
@@ -367,6 +376,8 @@ def _stage_sbc(cfg: PipelineConfig):
 
     else:
         raise ValueError(f"unknown sbc model {c.model!r}; use 'pop' or 'pop_cosmo'")
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+
     ranks = run_sbc_fleet(
         proto,
         make_loglike,
@@ -376,6 +387,8 @@ def _stage_sbc(cfg: PipelineConfig):
         num_warmup=c.num_warmup,
         num_samples=c.num_samples,
         thin=c.thin,
+        cfg=NutsConfig(max_depth=c.max_depth),
+        chunk_size=c.fleet_chunk,
     )
     pvals = sbc_uniformity_pvalues(ranks)
     out = cfg.paths.path("sbc_ranks.h5")

@@ -23,14 +23,15 @@ cfg = PipelineConfig()
 cfg.sbc.model = "pop_cosmo"
 cfg.sbc.n_sims = 128
 cfg.sbc.nobs = 16
-cfg.sbc.nsamp = 64
-cfg.sbc.nsel = 6144
-cfg.sbc.campaign_ndraw = 2_000_000
-cfg.sbc.num_warmup = 400
-cfg.sbc.num_samples = 256
-cfg.sbc.thin = 4
-cfg.sbc.threshold = 10.0
+cfg.sbc.nsamp = 256  # 4x less per-event estimator bias (score test, DESIGN.md §9)
+cfg.sbc.nsel = 3584  # fresh-noise: selection subset == event pool per sim (pool ~4050 at 6.5M draws)
+cfg.sbc.campaign_ndraw = 6_500_000
+cfg.sbc.num_warmup = 600
+cfg.sbc.num_samples = 512
+cfg.sbc.thin = 8
+cfg.sbc.threshold = 20.0
 cfg.sbc.pool_max = 8000
+cfg.sbc.pe_bank_size = 16384
 cfg.fit.n_grid = 128
 cfg.fit.n_z = 256
 
