@@ -154,8 +154,10 @@ def fetch_inputs(
         if dest.exists() and dest.stat().st_size > 0:
             sha = _sha256(dest)
             if name in prior_sums and prior_sums[name] != sha:
-                # torn/partial from an interrupted run — refetch below
-                dest.unlink()
+                # torn/partial from an interrupted run — keep the evidence
+                # (the refetch writes to a .part temp and os.replace()s
+                # atomically, so the mismatched file need not be destroyed)
+                dest.rename(dest.with_suffix(dest.suffix + ".corrupt"))
             else:
                 status = "present"
                 counts["present"] += 1

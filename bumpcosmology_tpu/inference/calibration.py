@@ -253,12 +253,6 @@ def make_mock_pop_simulator(
             f"({len(obs)}); clamping — selection-MC noise will be higher than "
             "configured (grow the campaign to actually get nsel injections)"
         )
-    if nsel > len(obs):
-        print(
-            f"[sbc] WARNING: requested nsel={nsel} exceeds the detected pool "
-            f"({len(obs)}); clamping — selection-MC noise will be higher than "
-            "configured (grow the campaign to actually get nsel injections)"
-        )
     nsel = min(nsel, len(obs))
     sel_idx = rng0.choice(len(obs), size=nsel, replace=False)
     sel = obs.iloc[sel_idx]
@@ -459,6 +453,8 @@ def make_mock_pop_cosmo_simulator_fresh(
     pe_bank_size: int = 4096,
     threshold: float = 20.0,
     obs_sigma: float = None,
+    snr_channel: bool = True,
+    max_bank_doublings: int = 4,
 ):
     """Joint-model simulator with per-simulation FRESH noise (exact SBC law).
 
@@ -476,6 +472,25 @@ def make_mock_pop_cosmo_simulator_fresh(
       generative law),
     * the observed data and PE banks of its ``nobs`` selected events only
       (16 × bank_size work — cheap because banks are no longer shared).
+
+    ``snr_channel=True`` closes the remaining structural mismatch — the
+    round-2 λ rank failure.  The mock world detects on
+    ``snr_obs = snr + N(0, √3)`` and sets the measurement σ's from it
+    (``mock_observations.py:34,41-48`` semantics), so ``snr_obs`` is
+    *observed data* whose likelihood ``g(snr_obs | m1d, q, dL) =
+    E_Θ[N(snr_obs; A(m1d, m2d)·Θ/dL, √3)]`` carries distance information
+    (fractional width √3/ρ ≈ 9 % at ρ = 20, comparable to σ_logdL = 0.2).
+    The fitted per-event marginal omits it — the Mandel, Farr & Gair (2019)
+    condition that selection/conditioning must be a function of the analyzed
+    data is violated — which tilts every event posterior toward high
+    P(detection) (low z) and biases the fit λ-high, one-sidedly,
+    independently of every MC size.  The mock SNR kernel is *exactly*
+    separable (``mock/snr.py``), so the fix is exact: fold one fresh Θ draw
+    per bank sample into the proposal and multiply the bank retarget weights
+    by ``N(snr_obs; A·Θ/dL, √3)`` — the resampled atoms then represent the
+    posterior under the FULL data (d₃, snr_obs) with ``pdraw`` unchanged,
+    and the flagship likelihood needs no modification.  (The reference's own
+    mock branch carries the identical omission.)
 
     ``campaign``: the injection DataFrame WITH true SNR columns (θ- and
     noise-independent, computed once).
@@ -495,7 +510,13 @@ def make_mock_pop_cosmo_simulator_fresh(
         cosmo_from_sites,
         make_pop_cosmo_data,
     )
-    from bumpcosmology_tpu.mock.catalog import Uncertainties, draw_mock_pe_samples
+    from bumpcosmology_tpu.mock.catalog import (
+        CHIRP_DIST_MIN,
+        Z_HORIZON,
+        Uncertainties,
+        draw_mock_pe_samples,
+    )
+    from bumpcosmology_tpu.mock.snr import amplitude_factor, draw_projection_factors
     from bumpcosmology_tpu.models.cosmology import build_cosmology
 
     snr = campaign["SNR"].to_numpy()
@@ -551,23 +572,79 @@ def make_mock_pop_cosmo_simulator_fresh(
         lmc_obs = rng.normal(log_mc_det[ev], unc.sigma_log_mc)
         q_obs = rng.normal(q[ev], unc.sigma_q)
         ldl_obs = rng.normal(log_dl[ev], unc.sigma_log_dl)
+        snr_obs_ev = pool_snr_obs[events]
+
+        def bank_logw(snr_obs_rows, m1d_b, q_b, dl_b, w_b):
+            """Log retarget weights for rows of bank draws.
+
+            Base retarget: Gaussian-law draws → L·p_fid (recorded pdraw stays
+            p_fid).  With ``snr_channel`` the rows also absorb the observed-SNR
+            likelihood N(snr_obs; A·Θ/dL, √3) with one fresh Θ draw per bank
+            sample — conditioning the atoms on the FULL observed data.  The
+            campaign precut (z < z_horizon, chirp-distance floor) zeroes the
+            mock world's SNR, so it zeroes the factor here too (exact law).
+            """
+            z_b = planck18_z_of_dl_np(dl_b)
+            m1_b = m1d_b / (1.0 + z_b)
+            p_fid = default_pop_wt(m1_b, q_b, z_b) * dm1sqz_dm1ddqdl(m1_b, q_b, z_b)
+            with np.errstate(divide="ignore"):
+                logw = np.log(p_fid) - np.log(w_b)
+            if snr_channel:
+                theta = draw_projection_factors(rng, m1d_b.shape)
+                a_fac = amplitude_factor(m1d_b, m1d_b * q_b)
+                mc_det_b = m1d_b * q_b**0.6 / (1.0 + q_b) ** 0.2
+                ok = (z_b < Z_HORIZON) & (mc_det_b ** (5.0 / 6.0) / dl_b > CHIRP_DIST_MIN)
+                snr_pred = np.where(ok, a_fac * theta / dl_b, 0.0)
+                logw = logw - 0.5 * ((snr_obs_rows[..., None] - snr_pred) ** 2) / 3.0
+            return logw, p_fid
+
         m1d_b, q_b, dl_b, w_b = draw_mock_pe_samples(
             lmc_obs[:, None], unc.sigma_log_mc[:, None],
             q_obs[:, None], unc.sigma_q[:, None],
             ldl_obs[:, None], unc.sigma_log_dl[:, None],
             size=(nobs, pe_bank_size), rng=rng,
         )
-        z_b = planck18_z_of_dl_np(dl_b)
-        m1_b = m1d_b / (1.0 + z_b)
-        p_fid = default_pop_wt(m1_b, q_b, z_b) * dm1sqz_dm1ddqdl(m1_b, q_b, z_b)
-        rw = p_fid / w_b
+        logw_all, p_fid_all = bank_logw(snr_obs_ev, m1d_b, q_b, dl_b, w_b)
+
         stacks = [np.empty((nobs, nsamp)) for _ in range(4)]
         for e in range(nobs):
-            pick = rng.choice(pe_bank_size, size=nsamp, p=rw[e] / rw[e].sum())
-            stacks[0][e] = m1d_b[e, pick]
-            stacks[1][e] = q_b[e, pick]
-            stacks[2][e] = dl_b[e, pick]
-            stacks[3][e] = p_fid[e, pick]
+            lw = logw_all[e]
+            bank = (m1d_b[e], q_b[e], dl_b[e], p_fid_all[e])
+            # adaptive bank doubling until the retarget Neff clears the
+            # reference's ingestion floor (mock_one_year_samples.py:30-44) —
+            # re-drawing a LARGER bank refines the estimator without changing
+            # the generative law (unlike rejecting the event, which would)
+            size, attempts, neff = pe_bank_size, 0, 0.0
+            while True:
+                mx = np.max(lw)
+                if np.isfinite(mx):
+                    w = np.exp(lw - mx)
+                    tot = w.sum()
+                    neff = tot * tot / np.sum(w * w)
+                else:
+                    w, neff = None, 0.0
+                if neff >= 2.0 * nsamp or attempts >= max_bank_doublings:
+                    break
+                attempts += 1
+                size *= 2
+                nb = draw_mock_pe_samples(
+                    lmc_obs[e], unc.sigma_log_mc[e], q_obs[e], unc.sigma_q[e],
+                    ldl_obs[e], unc.sigma_log_dl[e], size=(1, size), rng=rng,
+                )
+                lw2, pf2 = bank_logw(snr_obs_ev[e : e + 1], *nb)
+                lw = lw2[0]
+                bank = (nb[0][0], nb[1][0], nb[2][0], pf2[0])
+            if w is None:
+                print(f"[sbc] WARNING: event {e} bank has no finite weight; uniform fallback")
+                w = np.isfinite(bank[3]).astype(float)
+            elif neff < 2.0 * nsamp:
+                print(
+                    f"[sbc] WARNING: event {e} bank Neff {neff:.0f} < {2 * nsamp} "
+                    f"after doubling to {size}"
+                )
+            pick = rng.choice(len(w), size=nsamp, p=w / w.sum())
+            for j in range(4):
+                stacks[j][e] = bank[j][pick]
 
         return make_pop_cosmo_data(
             *stacks, m1d[pool], q[pool], dl[pool], pdraw_det[pool], ndraw=ndraw_eff

@@ -32,7 +32,14 @@ from bumpcosmology_tpu.mock.waveform import phenom_a_amplitude
 # units of PSD_SCALE = 1e-46; AMP_SCALE^2 * PSD_SCALE = 1 keeps rho^2 exact.
 AMP_SCALE = 1e23
 
-__all__ = ["frequency_grid", "network_snr", "network_snr_batched"]
+__all__ = [
+    "frequency_grid",
+    "network_snr",
+    "network_snr_batched",
+    "amplitude_factor",
+    "projection_factor",
+    "draw_projection_factors",
+]
 
 DEFAULT_F_MIN = 10.0  # psdstart in the reference (``mock_injections.py:49``)
 DEFAULT_F_MAX = 2048.0  # fmax (``mock_injections.py:54``)
@@ -129,6 +136,87 @@ def network_snr(
         net2 = net2 + rho2
     out["net"] = jnp.sqrt(net2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact SNR separability under the default design PSDs
+# ---------------------------------------------------------------------------
+#
+# Because every default PSD shares one spectral shape and |h| ∝ 1/dL, the
+# network SNR factorizes EXACTLY as
+#
+#     snr = A(m1_det, m2_det) · Θ(angles) / dL
+#
+# with A² = 4 ∫ |h(f; dL=1)|²/S_H1 df a pure function of the detector-frame
+# masses and Θ² = Σ_det proj_det · (S_H1/S_det at any f) a pure function of
+# the extrinsic angles.  This decomposition is what makes the mock world's
+# SNR-observation likelihood g(snr_obs | m1d, q, dL) computable per PE-bank
+# sample (one Θ draw folds the angle marginalization into the bank proposal)
+# — required for exactly calibrated SBC, see
+# ``inference/calibration.py::make_mock_pop_cosmo_simulator_fresh``.
+
+
+@partial(jax.jit, static_argnames=("n_f",))
+def _amp_factor_jit(m1_det, m2_det, n_f: int):
+    f_grid = frequency_grid(n=n_f)
+    inv_s = 1.0 / PSDS["H1"](f_grid)
+    one = jnp.ones_like(m1_det)
+    amp = AMP_SCALE * phenom_a_amplitude(
+        f_grid[None, :], m1_det[:, None], m2_det[:, None], one[:, None]
+    )
+    df = jnp.diff(f_grid)
+    integrand = amp * amp * inv_s[None, :]
+    integral = jnp.sum(0.5 * df[None, :] * (integrand[:, 1:] + integrand[:, :-1]), axis=1)
+    return jnp.sqrt(4.0 * integral)
+
+
+def amplitude_factor(m1_det, m2_det, n_f: int = DEFAULT_N_F, chunk: int = 65536):
+    """A(m1_det, m2_det): network SNR per unit Θ at dL = 1 Gpc (numpy out).
+
+    Valid for the default design PSDs only (shared spectral shape); raise on
+    custom-PSD campaigns where the factorization does not hold.
+    """
+    m1_det = np.asarray(m1_det, dtype=np.float32)
+    m2_det = np.asarray(m2_det, dtype=np.float32)
+    shape = m1_det.shape
+    m1f, m2f = m1_det.reshape(-1), m2_det.reshape(-1)
+    out = np.empty(m1f.shape, dtype=np.float32)
+    for lo in range(0, len(m1f), chunk):
+        sl = slice(lo, lo + chunk)
+        out[sl] = np.asarray(_amp_factor_jit(jnp.asarray(m1f[sl]), jnp.asarray(m2f[sl]), n_f))
+    return out.reshape(shape)
+
+
+@jax.jit
+def _proj_factor_jit(iota, ra, dec, psi, gmst):
+    ci = jnp.cos(iota)
+    plus_fac = (0.5 * (1.0 + ci * ci)) ** 2
+    cross_fac = ci * ci
+    f_probe = jnp.asarray([100.0])
+    ref = PSDS["H1"](f_probe)[0]
+    tot = 0.0
+    for det in ("H1", "L1", "V1"):
+        fp, fc = antenna_pattern(DETECTORS[det], ra, dec, psi, gmst)
+        scale = ref / PSDS[det](f_probe)[0]
+        tot = tot + (fp * fp * plus_fac + fc * fc * cross_fac) * scale
+    return jnp.sqrt(tot)
+
+
+def projection_factor(iota, ra, dec, psi, gmst):
+    """Θ(angles): the H1/L1/V1 network projection factor (numpy out)."""
+    args = [jnp.asarray(np.asarray(x, dtype=np.float32)) for x in (iota, ra, dec, psi, gmst)]
+    return np.asarray(_proj_factor_jit(*args))
+
+
+def draw_projection_factors(rng: np.random.Generator, size):
+    """Θ draws under the isotropic angle law of the injection campaign
+    (``mock_injections.py:160-168`` semantics: uniform cos ι, sky, ψ, GMST)."""
+    iota = np.arccos(rng.uniform(-1.0, 1.0, size=size))
+    ra = rng.uniform(0.0, 2.0 * np.pi, size=size)
+    dec = np.arcsin(rng.uniform(-1.0, 1.0, size=size))
+    psi = rng.uniform(0.0, np.pi, size=size)
+    gmst = rng.uniform(0.0, 2.0 * np.pi, size=size)
+    return projection_factor(iota, ra, dec, psi, gmst)
 
 
 @partial(jax.jit, static_argnames=("chunk", "detectors", "n_f", "psd_items"))

@@ -202,7 +202,12 @@ def build_detector_table(
     dl = jnp.exp(v)
     z = z_at_dl(table, dl)
     dvc, ddl = dvc_and_ddl_at_z(table, z)
-    cols = jnp.stack([z, jnp.log(dvc) - jnp.log(ddl)], axis=1)
+    # Finite-table guard (see interp.py docstring): if dl_lo maps to z ≈ 0,
+    # dvc underflows to 0 and an unguarded -inf entry would NaN-poison every
+    # query through the matmul/tiled contraction.  -1e4 is zero weight in
+    # any downstream exp while keeping the contraction finite.
+    log_jac = jnp.maximum(jnp.log(dvc) - jnp.log(ddl), -1e4)
+    cols = jnp.stack([z, log_jac], axis=1)
     return DetectorFrameTable(
         params=table.params,
         v0=jnp.asarray(v0, dtype=cols.dtype),

@@ -53,9 +53,14 @@ def _default_method() -> str:
 
 def _default_unit_method() -> str:
     """Uniform-grid lookups default to the tiled two-level formulation on TPU
-    (exact linear interp, ~16x less HBM traffic than the flat hat matmul)."""
-    m = _default_method()
-    return "tiled" if m == "matmul" else m
+    (exact linear interp, ~16x less HBM traffic than the flat hat matmul).
+
+    Only the *backend-derived* default is upgraded: an explicit
+    ``set_default_method("matmul")`` override is honored literally.
+    """
+    if _METHOD_OVERRIDE is not None:
+        return _METHOD_OVERRIDE
+    return "tiled" if jax.default_backend() == "tpu" else "gather"
 
 
 # ---------------------------------------------------------------- non-uniform
@@ -112,7 +117,9 @@ def interp(
     xp = jnp.asarray(xp)
     fp = jnp.asarray(fp)
     method = method or _default_method()
-    if method == "matmul":
+    if method in ("matmul", "tiled"):
+        # 'tiled' exists only for uniform grids; its non-uniform spelling is
+        # the segment-membership matmul (same MXU formulation class)
         return _interp_matmul(x, xp, fp)
     return _interp_gather(x, xp, fp)
 

@@ -345,6 +345,11 @@ def _stage_sbc(cfg: PipelineConfig):
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
         if c.fresh_noise:
+            if c.pool_max:
+                # the fresh-noise simulator redraws its detected pool per
+                # simulation from the full campaign; the shared-pool cap does
+                # not apply (its per-sim pool size is nsel)
+                print("[sbc] note: pool_max only applies to the shared-bank simulators")
             simulate = make_mock_pop_cosmo_simulator_fresh(
                 inj, nobs=c.nobs, nsamp=c.nsamp, nsel=max(c.nsel, 2048),
                 pe_bank_size=c.pe_bank_size, threshold=c.threshold,

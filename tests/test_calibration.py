@@ -140,3 +140,38 @@ def test_run_sbc_fleet_joint_model_smoke():
         assert ranks[site].shape == (4,)
         assert np.all((ranks[site] >= 0) & (ranks[site] < n_bins))
     assert "R_unit" not in ranks
+
+
+def test_fresh_noise_simulator_snr_channel():
+    """Fresh-noise joint simulator with the observed-SNR channel conditioned
+    into the PE banks (the round-3 λ-calibration fix): valid detector-frame
+    data, finite weights, and a finite differentiable potential."""
+    from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_cosmo_simulator_fresh,
+    )
+    from bumpcosmology_tpu.inference.model import constrain, make_potential, prior_sample
+
+    inj = draw_injection_campaign(ndraw=80_000, seed=35, snr_chunk=8192)
+    builder = make_pop_cosmo_sbc_spec_builder(n_grid=64, n_z=128)
+    proto = builder(None)
+    rng = np.random.default_rng(36)
+    sites = {
+        k: np.asarray(v)
+        for k, v in constrain(proto, prior_sample(proto, jax.random.PRNGKey(37))).items()
+    }
+    for snr_channel in (False, True):
+        simulate = make_mock_pop_cosmo_simulator_fresh(
+            inj, nobs=4, nsamp=16, nsel=48, pe_bank_size=1024,
+            threshold=10.0, snr_channel=snr_channel, max_bank_doublings=2,
+        )
+        data = simulate(rng, sites)
+        assert data.events.a.shape == (4, 16)
+        assert data.selection.a.shape == (48,)
+        assert np.all(np.asarray(data.events.a) > 5.0)
+        assert np.all(np.isfinite(np.asarray(data.events.log_pdraw)))
+        assert np.all(np.isfinite(np.asarray(data.selection.log_pdraw)))
+        spec = builder(data)
+        theta = prior_sample(spec, jax.random.PRNGKey(38))
+        u, g = jax.value_and_grad(make_potential(spec))(theta)
+        assert np.isfinite(np.asarray(u))
+        assert np.all(np.isfinite(np.asarray(g)))

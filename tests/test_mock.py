@@ -361,3 +361,44 @@ def test_tabulated_psd_config_path_matches_analytic(tmp_path):
     np.testing.assert_allclose(
         inj_b["SNR_V1"].to_numpy(), inj_a["SNR_V1"].to_numpy(), rtol=1e-5
     )
+
+
+def test_snr_separability_exact():
+    """net SNR factorizes exactly as A(m1d, m2d) · Θ(angles) / dL under the
+    default design PSDs — the identity the SBC snr-channel conditioning
+    relies on (``inference/calibration.py::make_mock_pop_cosmo_simulator_fresh``)."""
+    from bumpcosmology_tpu.mock.snr import amplitude_factor, projection_factor
+
+    rng = np.random.default_rng(99)
+    n = 512
+    m1d = rng.uniform(10, 200, n)
+    m2d = m1d * rng.uniform(0.2, 1.0, n)
+    dl = rng.uniform(0.5, 20.0, n)
+    iota = np.arccos(rng.uniform(-1, 1, n))
+    ra = rng.uniform(0, 2 * np.pi, n)
+    dec = np.arcsin(rng.uniform(-1, 1, n))
+    psi = rng.uniform(0, np.pi, n)
+    gmst = rng.uniform(0, 2 * np.pi, n)
+    full = network_snr_batched(m1d, m2d, dl, iota, ra, dec, psi, gmst)["net"]
+    sep = amplitude_factor(m1d, m2d) * projection_factor(iota, ra, dec, psi, gmst) / dl
+    np.testing.assert_allclose(sep, full, rtol=1e-4)
+
+
+def test_projection_factor_draws_match_campaign_law():
+    """Θ draws under the isotropic law reproduce the campaign's realized
+    SNR·dL/A distribution (same angle conventions end to end)."""
+    from bumpcosmology_tpu.mock.snr import amplitude_factor, draw_projection_factors
+
+    inj = draw_injection_campaign(ndraw=20_000, seed=321, snr_chunk=4096)
+    det = inj[inj["SNR"] > 8.0]
+    m1d = (det["m1"] * (1 + det["z"])).to_numpy()
+    m2d = m1d * det["q"].to_numpy()
+    dl = planck18_dl_np(det["z"].to_numpy())
+    theta_campaign = det["SNR"].to_numpy() * dl / amplitude_factor(m1d, m2d)
+    assert np.all(theta_campaign < 1.8)  # Θ is bounded by the network optimum
+    rng = np.random.default_rng(5)
+    theta_iso = draw_projection_factors(rng, 4096)
+    # detected injections tilt toward louder orientations; only the support
+    # and overall scale are comparable, not the full distribution
+    assert 0 < theta_iso.min() and theta_iso.max() < 1.8
+    assert theta_campaign.max() <= theta_iso.max() * 1.2
