@@ -1,8 +1,15 @@
 """Benchmark: the north-star metric — joint-fit min-ESS/sec vs host CPU.
 
 Prints ONE JSON line to stdout:
-  {"metric": "joint_fit_min_ess_per_sec", "value": N, "unit": "ESS/s", "vs_baseline": N}
-(diagnostic detail goes to stderr).
+  {"metric": "joint_fit_min_ess_per_sec", "value": N, "unit": "ESS/s",
+   "vs_baseline": N, "vs_baseline_per_core": N, "cpu_cores": N,
+   "scaling": [{"chains": 4|16|64, "ess_per_sec": N}, ...]}
+(diagnostic detail goes to stderr).  ``vs_baseline`` is against the measured
+host-CPU run at the reference's own 4-chain config on THIS host's core count
+(stated in ``cpu_cores``/``cpu_config``); ``vs_baseline_per_core`` normalizes
+to per-CPU-core throughput so the ratio is portable to multi-core hosts.  The
+``scaling`` ladder measures the vectorized-chain axis (the TPU-native scale-out
+dimension) at 4/16/64 chains on the same adapted kernels.
 
 Workload: the flagship joint population+cosmology fit (reference
 ``run_cosmo_fit.py``) on the committed flagship catalog
@@ -119,18 +126,23 @@ def _min_ess(spec, thetas) -> float:
     return min(s["ess"] for s in stats.values())
 
 
-def bench_accel(platform: str):
+def _tile_warmup(warm, factor: int):
+    """Replicate the 4 adapted kernels onto ``factor``x as many chains.
+
+    Same construction as ``benchmarks/make_warmup16.py``: each adapted
+    (eps, mass) kernel is reused on tiled start positions; chains decorrelate
+    after a few draws since every chain consumes its own key stream."""
+    import jax
+
+    return jax.tree.map(lambda x: np.tile(np.asarray(x), (factor,) + (1,) * (x.ndim - 1)), warm)
+
+
+def bench_accel(platform: str, warm, spec, potential, n_draws: int):
     """(min_ess_per_sec, ess_per_draw) from a measured sampling phase."""
     import jax
 
     from bumpcosmology_tpu.inference.nuts import NutsConfig, run_sampling
 
-    # CPU-only runs (CI smoke) use the 4-chain state and a short phase;
-    # the 16-chain 400-draw configuration is for the accelerator.
-    on_cpu = platform == "cpu"
-    warmup_path = WARMUP if on_cpu or not WARMUP16.exists() else WARMUP16
-    n_draws = 50 if on_cpu else N_ACCEL_DRAWS
-    spec, potential, warm = _prepare(platform, warmup_path)
     n_chains = int(np.asarray(warm.eps).shape[0])
     cfg = NutsConfig()
     key = jax.random.PRNGKey(SEED + 1)
@@ -210,18 +222,46 @@ def main():
     platform = accel or "cpu"
     _ensure_warmup(platform)
 
-    ess_per_sec, ess_per_draw = bench_accel(platform)
+    # CPU-only runs (CI smoke) use the 4-chain state and a short phase; the
+    # accelerator measures a 4/16/64-chain scaling ladder (16 = headline).
+    on_cpu = accel is None
+    scaling = []
+    if on_cpu:
+        spec, potential, warm = _prepare("cpu", WARMUP)
+        ess_per_sec, ess_per_draw = bench_accel("cpu", warm, spec, potential, 50)
+    else:
+        spec, potential, warm4 = _prepare(platform, WARMUP)
+        if WARMUP16.exists():
+            _, _, warm16 = _prepare(platform, WARMUP16)
+        else:
+            warm16 = jax.device_put(_tile_warmup(warm4, 4), jax.devices(platform)[0])
+        warm64 = jax.device_put(_tile_warmup(warm16, 4), jax.devices(platform)[0])
+        for warm, n_draws in ((warm4, 200), (warm16, N_ACCEL_DRAWS), (warm64, 150)):
+            n_chains = int(np.asarray(warm.eps).shape[0])
+            eps, epd = bench_accel(platform, warm, spec, potential, n_draws)
+            scaling.append({"chains": n_chains, "ess_per_sec": round(float(eps), 3)})
+            if n_chains == N_CHAINS_ACCEL:
+                ess_per_sec, ess_per_draw = eps, epd
 
+    cpu_cores = os.cpu_count() or 1
     vs_baseline = 1.0
+    vs_baseline_per_core = 1.0
     if accel is not None:
         try:
             cpu_rate = bench_cpu_rate()
             cpu_ess_per_sec = ess_per_draw * cpu_rate
             vs_baseline = ess_per_sec / cpu_ess_per_sec
+            # per-core normalization: the reference config runs its 4 chains
+            # in parallel given >=4 cores, so a realistic multi-core host
+            # baseline is ~(per-core throughput x min(cores, 4)); reporting
+            # the per-core ratio makes the headline portable across hosts
+            cpu_ess_per_core = cpu_ess_per_sec / min(cpu_cores, N_CHAINS_CPU)
+            vs_baseline_per_core = ess_per_sec / cpu_ess_per_core
             log(
                 f"[bench] accel {ess_per_sec:.2f} ESS/s vs CPU "
-                f"{cpu_ess_per_sec:.3f} ESS/s -> {vs_baseline:.1f}x "
-                f"(north-star target >=50x, BASELINE.json)"
+                f"{cpu_ess_per_sec:.3f} ESS/s on {cpu_cores} core(s) -> "
+                f"{vs_baseline:.1f}x ({vs_baseline_per_core:.1f}x per CPU core; "
+                f"north-star target >=50x on v5e-8, BASELINE.json)"
             )
         except Exception as err:
             log(f"[bench] CPU baseline failed: {err!r}")
@@ -233,6 +273,11 @@ def main():
                 "value": round(float(ess_per_sec), 3),
                 "unit": "ESS/s",
                 "vs_baseline": round(float(vs_baseline), 2),
+                "vs_baseline_per_core": round(float(vs_baseline_per_core), 2),
+                "cpu_cores": cpu_cores,
+                "cpu_config": f"reference 4-chain NUTS on {cpu_cores} host core(s)",
+                "accel_chains": N_CHAINS_ACCEL,
+                "scaling": scaling,
             }
         )
     )

@@ -149,6 +149,7 @@ def fetch_inputs(
 
     counts = {"present": 0, "downloaded": 0, "failed": 0}
     entries = []
+    net_failures = 0
     for record, name, dest in targets:
         status, sha = None, None
         if dest.exists() and dest.stat().st_size > 0:
@@ -162,15 +163,25 @@ def fetch_inputs(
                 status = "present"
                 counts["present"] += 1
         if status is None:
-            try:
-                _download(zenodo_url(record, name), dest, timeout=timeout)
-                sha = _sha256(dest)
-                status = "downloaded"
-                counts["downloaded"] += 1
-            except Exception as err:  # no egress / transient — not fatal
-                status = f"failed: {type(err).__name__}"
+            if net_failures >= 3:
+                # three consecutive hard failures: the network is down, not
+                # flaky — skip the remaining attempts instead of burning one
+                # timeout per file (up to ~2 min x 57 files offline)
+                status = "failed: skipped (network unreachable)"
                 sha = None
                 counts["failed"] += 1
+            else:
+                try:
+                    _download(zenodo_url(record, name), dest, timeout=timeout)
+                    sha = _sha256(dest)
+                    status = "downloaded"
+                    counts["downloaded"] += 1
+                    net_failures = 0
+                except Exception as err:  # no egress / transient — not fatal
+                    status = f"failed: {type(err).__name__}"
+                    sha = None
+                    counts["failed"] += 1
+                    net_failures += 1
         entries.append(
             {"file": name, "record": record, "path": str(dest), "status": status, "sha256": sha}
         )

@@ -59,15 +59,36 @@ def extract_posterior_samples(
     with h5py.File(file, "r") as f:
         samples = None
         for group in _PE_GROUPS:
-            if group.split("/")[0] in f:
+            if group.split("/")[0] in f and group.split("/")[1] in f[group.split("/")[0]]:
                 samples = np.asarray(f[group])
                 break
+        if samples is None:
+            # real-release quirk tolerance: some files carry only per-waveform
+            # analysis groups (e.g. "C01:IMRPhenomXPHM") without the two
+            # canonical keys of ``weighting.py:74-81`` — fall back to any
+            # "C01:*" analysis that has a posterior_samples table
+            for key in sorted(f.keys()):
+                if key.startswith("C01:") and "posterior_samples" in f[key]:
+                    samples = np.asarray(f[key]["posterior_samples"])
+                    break
         if samples is None:
             raise ValueError(f"could not read posterior samples from {file}")
 
     m1 = np.asarray(samples["mass_1_source"], dtype=np.float64)
     q = np.asarray(samples["mass_ratio"], dtype=np.float64)
     z = np.asarray(samples["redshift"], dtype=np.float64)
+
+    # real files occasionally carry non-finite rows; keep the finite subset
+    # rather than letting one NaN poison the weights
+    finite = np.isfinite(m1) & np.isfinite(q) & np.isfinite(z)
+    if not finite.all():
+        n_bad = int((~finite).sum())
+        if finite.sum() < max(4 * nsamp, 100):
+            raise RejectedEventError(
+                f"only {int(finite.sum())} finite posterior rows in {file}"
+            )
+        print(f"[gwtc] {file}: dropping {n_bad} non-finite posterior rows")
+        m1, q, z = m1[finite], q[finite], z[finite]
 
     if np.median(q * m1) < MBH_MIN:
         raise RejectedEventError(f"median m2 < {MBH_MIN} Msun in {file}")
@@ -112,8 +133,20 @@ def extract_selection_samples(
             * m1
         )
         detected = np.zeros(len(m1), dtype=bool)
+        found_far = 0
         for key in _FAR_KEYS:
-            detected |= np.asarray(f[key]) < far_threshold
+            grp, name = key.split("/")
+            if name not in f[grp]:
+                # real-file quirk: some injection releases omit one of the
+                # four searches — detection is the OR of whichever are present
+                print(f"[gwtc] {file}: FAR column {name} absent; skipping")
+                continue
+            far = np.asarray(f[key], dtype=np.float64)
+            # NaN FAR (search did not analyze the injection) is not detected
+            detected |= np.nan_to_num(far, nan=np.inf) < far_threshold
+            found_far += 1
+        if found_far == 0:
+            raise ValueError(f"no FAR columns found in {file}")
 
         ndraw = float(f.attrs["n_accepted"] + f.attrs["n_rejected"])
         t_years = (f.attrs["end_time_s"] - f.attrs["start_time_s"]) / SECONDS_PER_YEAR

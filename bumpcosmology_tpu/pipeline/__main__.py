@@ -38,6 +38,13 @@ def main(argv=None):
         default=None,
         help="number of virtual CPU devices (chain/data mesh on CPU)",
     )
+    parser.add_argument(
+        "--rehearsal",
+        action="store_true",
+        help="offline fallback: if fetch leaves no usable inputs, generate "
+        "format-faithful rehearsal fixtures (data/rehearsal.py) and complete "
+        "the pipeline against them",
+    )
     args, overrides = parser.parse_known_args(argv)
 
     if args.platform or args.host_devices:
@@ -51,6 +58,8 @@ def main(argv=None):
     cfg = PipelineConfig.load(args.config, [o for o in overrides if "=" in o])
     if args.data_dir:
         cfg.paths.data_dir = args.data_dir
+    if args.rehearsal:
+        cfg.ingest.rehearsal_fallback = True
 
     pipe = build_pipeline(cfg)
     if args.targets == ["list"]:

@@ -42,6 +42,13 @@ class IngestConfig:
     pe_seed: int = 232970088
     sel_seed: int = 727228188
     far_threshold: float = 1.0
+    # offline fallback: when fetch leaves no usable inputs, generate
+    # format-faithful rehearsal fixtures (data/rehearsal.py) so `pipeline all`
+    # completes the full journey in one command (CLI: --rehearsal)
+    rehearsal_fallback: bool = False
+    rehearsal_events: int = 8
+    rehearsal_campaign_ndraw: int = 200_000
+    rehearsal_seed: int = 11
 
 
 @dataclass

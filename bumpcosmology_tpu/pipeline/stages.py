@@ -38,7 +38,13 @@ def group_events(df: pd.DataFrame, cols=("m1", "q", "z", "wt")):
 
 def _stage_fetch(cfg: PipelineConfig):
     """Download the 56 GWTC PE releases + O3 injection file from Zenodo
-    (reference: ``showyourwork.yml:27-94``), verifying/resuming as needed."""
+    (reference: ``showyourwork.yml:27-94``), verifying/resuming as needed.
+
+    Degrades gracefully offline: when nothing usable is present after the
+    fetch attempt, either generate rehearsal fixtures
+    (``ingest.rehearsal_fallback``, CLI ``--rehearsal``) or stop with an
+    actionable message — so ``pipeline all`` goes from an empty data dir to
+    figures+report in one command even with Zenodo unreachable."""
     from bumpcosmology_tpu.data.fetch import fetch_inputs
 
     counts = fetch_inputs(
@@ -49,6 +55,35 @@ def _stage_fetch(cfg: PipelineConfig):
     print(
         "[fetch] {present} present, {downloaded} downloaded, {failed} failed".format(**counts)
     )
+    have_pe = bool(glob(str(Path(cfg.paths.pe_raw_dir) / "*.h5")))
+    have_inj = Path(cfg.paths.injection_file).exists()
+    if have_pe and have_inj:
+        return
+    if not cfg.ingest.rehearsal_fallback:
+        raise RuntimeError(
+            f"fetch left no usable inputs (PE files: {have_pe}, injection "
+            f"file: {have_inj}).  Either (a) place the GWTC-2.1/GWTC-3 "
+            f"releases under {cfg.paths.pe_raw_dir} and the endo3 injection "
+            f"file at {cfg.paths.injection_file} by other means, or (b) rerun "
+            "with --rehearsal (config: ingest.rehearsal_fallback=true) to "
+            "generate format-faithful rehearsal fixtures and complete the "
+            "pipeline offline."
+        )
+    print(
+        "[fetch] no usable inputs and rehearsal fallback enabled — generating "
+        f"{cfg.ingest.rehearsal_events} rehearsal events + injection file "
+        "(format-faithful mock inputs; see data/rehearsal.py)"
+    )
+    from bumpcosmology_tpu.data.rehearsal import write_rehearsal_catalog
+
+    n = write_rehearsal_catalog(
+        cfg.paths.pe_raw_dir,
+        cfg.paths.injection_file,
+        n_events=cfg.ingest.rehearsal_events,
+        campaign_ndraw=cfg.ingest.rehearsal_campaign_ndraw,
+        seed=cfg.ingest.rehearsal_seed,
+    )
+    print(f"[fetch] rehearsal fallback wrote {n} PE files + injection file")
 
 
 def _stage_draw_pe_samples(cfg: PipelineConfig):
@@ -59,8 +94,10 @@ def _stage_draw_pe_samples(cfg: PipelineConfig):
     files = sorted(glob(str(Path(cfg.paths.pe_raw_dir) / "*.h5")))
     if not files:
         raise FileNotFoundError(
-            f"no GWTC posterior files in {cfg.paths.pe_raw_dir} "
-            "(download the GWTC-2.1/GWTC-3 releases there)"
+            f"no GWTC posterior files in {cfg.paths.pe_raw_dir} — run the "
+            "'fetch' stage (or place the GWTC-2.1/GWTC-3 releases there "
+            "manually; offline, rerun with --rehearsal for format-faithful "
+            "fixtures)"
         )
     for f in files:
         m = re.match(r"^.*(GW[0-9_]+[0-9]+).*\.h5$", f)
@@ -447,12 +484,14 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 lambda: _stage_draw_pe_samples(cfg),
                 inputs=[],
                 outputs=[p("pe-samples.h5")],
+                after=["fetch"],
             ),
             Stage(
                 "draw_selection_samples",
                 lambda: _stage_draw_selection_samples(cfg),
                 inputs=[Path(cfg.paths.injection_file)],
                 outputs=[p("selection-samples.h5")],
+                after=["fetch"],
             ),
             Stage(
                 "sample",

@@ -126,6 +126,52 @@ def to_arviz(trace: "Trace"):
     )
 
 
+def _nc_group(f, name: str, variables: Dict[str, np.ndarray], coords, dims_map):
+    """Write one InferenceData group as NetCDF-4 (pure h5py).
+
+    NetCDF-4 files are HDF5 files following the dimension-scale conventions
+    (each named dimension is a dataset with CLASS=DIMENSION_SCALE; variables
+    carry DIMENSION_LIST references via ``attach_scale``) — exactly what
+    netCDF4-c, h5netcdf, and therefore xarray/arviz read back.
+    """
+    g = f.create_group(name)
+    first = next(iter(variables.values()))
+    dim_sizes = {"chain": first.shape[0], "draw": first.shape[1]}
+    for vname, v in variables.items():
+        for ax, dim in enumerate(dims_map.get(vname, [])):
+            dim_sizes[dim] = v.shape[2 + ax]
+
+    scales = {}
+    for dim, size in dim_sizes.items():
+        vals = np.asarray(coords[dim]) if dim in coords else np.arange(size)
+        ds = g.create_dataset(dim, data=vals)
+        ds.make_scale(dim)
+        scales[dim] = ds
+
+    for vname, v in variables.items():
+        v = np.asarray(v)
+        ds = g.create_dataset(vname, data=v)
+        var_dims = ["chain", "draw"] + list(dims_map.get(vname, []))
+        for ax, dim in enumerate(var_dims):
+            ds.dims[ax].attach_scale(scales[dim])
+
+
 def export_netcdf(path, trace: "Trace") -> None:
-    """Write an arviz-compatible NetCDF file (requires arviz)."""
-    to_arviz(trace).to_netcdf(str(path))
+    """Write an arviz-InferenceData-layout NetCDF-4 file with pure h5py.
+
+    No arviz/netCDF4/h5netcdf dependency: the file is written directly with
+    HDF5 dimension scales (the NetCDF-4 data model), with the ``posterior``
+    and ``sample_stats`` groups and per-site dims of :data:`SITE_DIMS` —
+    byte-compatible with ``arviz.from_netcdf`` / ``xarray.open_dataset(...,
+    group="posterior", engine="h5netcdf")`` readers.  Equivalent surface to
+    the reference's ``az.to_netcdf`` (``run_fit.py:41-42``).
+    """
+    dims_map = site_dims(trace)
+    coords = {k: np.asarray(v) for k, v in trace.coords.items()}
+    if "neff" in trace.posterior and np.ndim(trace.posterior["neff"]) == 3:
+        coords.setdefault("event", np.arange(trace.posterior["neff"].shape[-1]))
+    with h5py.File(path, "w") as f:
+        f.attrs["inference_library"] = "bumpcosmology_tpu"
+        _nc_group(f, "posterior", trace.posterior, coords, dims_map)
+        if trace.sample_stats:
+            _nc_group(f, "sample_stats", trace.sample_stats, coords, {})

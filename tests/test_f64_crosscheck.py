@@ -82,3 +82,63 @@ def test_f32_posterior_matches_f64_within_mc_error():
         # spread agreement too: f32 must not inflate/deflate the posterior
         assert 0.7 < a["sd"] / b["sd"] < 1.4, (site, a["sd"], b["sd"])
     print(f"worst |z| across sites: {worst:.2f}")
+
+
+@pytest.mark.slow
+def test_joint_f32_matches_f64_golden():
+    """JOINT-model cross-precision check (VERDICT r2 #3): an f32 fit of the
+    reference-scale detector-frame catalog must match the committed float64
+    golden trace (``benchmarks/make_f64_joint_golden.py``) within MC error on
+    every site, with spread agreement — covering exactly the f32-risk path
+    (z(dL) inversion, detector-table interpolation, selection logsumexp)."""
+    import jax
+
+    golden_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", "golden_joint_f64.npz",
+    )
+    if not os.path.exists(golden_path):
+        pytest.skip("golden_joint_f64.npz not generated yet")
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.benchdata import mock_pop_cosmo_data
+    from bumpcosmology_tpu.inference.diagnostics import summary
+    from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec
+    from bumpcosmology_tpu.inference.sampler import fit
+
+    with np.load(golden_path) as d:
+        cfg = json.loads(str(d["config"]))
+        golden = {
+            k[len("post_"):]: d[k] for k in d.files if k.startswith("post_")
+        }
+    g_summ = summary(golden)
+
+    data = mock_pop_cosmo_data(
+        nobs=cfg["nobs"], nsamp=cfg["nsamp"], nsel=cfg["nsel"],
+        ndraw_campaign=cfg["ndraw_campaign"], threshold=cfg["threshold"],
+        seed=cfg["seed"],
+    )
+    assert data.events.a.dtype == jnp.float32
+    spec = pop_cosmo_model_spec(data, n_grid=cfg["n_grid"], n_z=cfg["n_z"])
+    # smaller f32 draw budget: MC error is then dominated by this run and the
+    # z-score below accounts for it through the combined standard error
+    res = fit(spec, jax.random.PRNGKey(11), num_warmup=500, num_samples=400,
+              num_chains=2, verbose=False)
+    f_summ = res.summary()
+
+    assert set(f_summ) == set(g_summ)
+    worst = None
+    for site in f_summ:
+        a, b = f_summ[site], g_summ[site]
+        assert a["rhat"] < 1.05, (site, a["rhat"])
+        se = np.hypot(
+            a["sd"] / np.sqrt(max(a["ess"], 1.0)), b["sd"] / np.sqrt(max(b["ess"], 1.0))
+        )
+        z = abs(a["mean"] - b["mean"]) / max(se, 1e-12)
+        worst = max(worst or 0.0, z)
+        assert z < 4.0, (
+            f"{site}: f32 mean {a['mean']:.4g} vs f64 golden {b['mean']:.4g} "
+            f"differs by {z:.1f} MC standard errors"
+        )
+        assert 0.7 < a["sd"] / b["sd"] < 1.4, (site, a["sd"], b["sd"])
+    print(f"worst |z| across joint sites: {worst:.2f}")

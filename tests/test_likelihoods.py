@@ -234,10 +234,12 @@ def test_fused_detector_table_matches_per_lookup_path():
     def new(theta):
         return pop_cosmo_loglike(constrain(spec, theta), data, 128, 512, bounds)
 
+    vg_old = jax.jit(jax.value_and_grad(old))
+    vg_new = jax.jit(jax.value_and_grad(new))
     for s in range(4):
         theta = prior_sample(spec, jax.random.PRNGKey(100 + s))
-        v_old, g_old = jax.value_and_grad(old)(theta)
-        v_new, g_new = jax.value_and_grad(new)(theta)
+        v_old, g_old = vg_old(theta)
+        v_new, g_new = vg_new(theta)
         assert np.isfinite(float(v_new))
         # discretization difference of the re-keyed table: O(1e-5) relative
         np.testing.assert_allclose(float(v_new), float(v_old), rtol=5e-4, atol=5e-2)

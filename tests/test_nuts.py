@@ -1,6 +1,8 @@
 """NUTS sampler validation on analytically known targets."""
 import math
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -222,6 +224,7 @@ def test_chees_hmc_gaussian_recovery():
     assert np.isfinite(float(res.trajectory_length))
 
 
+@pytest.mark.slow
 def test_fit_with_chees_sampler():
     from bumpcosmology_tpu.inference.sampler import fit
     from bumpcosmology_tpu.testing import synthetic_pop_data

@@ -213,7 +213,7 @@ def test_interp_unit_tiled_exact_vs_flat():
             rng.normal(size=(K,)) if C == 1 else rng.normal(size=(K, C))
         )
         x0, dx = -1.5, 0.013
-        x = jnp.asarray(rng.uniform(-2.5, x0 + dx * (K + 60), size=3000))
+        x = jnp.asarray(rng.uniform(-2.5, x0 + dx * (K + 60), size=768))
         ref = interp_unit_spaced(x, x0, dx, fp, method="gather")
         for got in (
             interp_unit_tiled(x, x0, dx, fp, tile=tile),

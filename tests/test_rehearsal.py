@@ -133,3 +133,33 @@ def test_real_data_pipeline_journey(tmp_path):
     assert len(made) == len(FIGURES)
     for p in made:
         assert p.exists() and p.stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_pipeline_all_rehearsal_one_command(tmp_path):
+    """VERDICT r2 #4 done-criterion: ONE command takes an empty data dir to
+    figures + report with fetch unreachable — ``pipeline all --rehearsal``.
+    The fetch stage fails fast offline, generates rehearsal fixtures, and the
+    real ingestion → fits → figures → report chain completes against them."""
+    from bumpcosmology_tpu.pipeline.__main__ import main
+
+    data_dir = tmp_path / "empty"
+    rc = main([
+        "all", "--rehearsal", "--data-dir", str(data_dir),
+        f"paths.pe_raw_dir={data_dir}/pe-samples-raw",
+        f"paths.injection_file={data_dir}/endo3_rehearsal.hdf5",
+        "ingest.rehearsal_events=6",
+        "ingest.rehearsal_campaign_ndraw=150000",
+        "ingest.nsamp_pe=64", "ingest.nsamp_sel=512",
+        "fit.num_warmup=150", "fit.num_samples=100", "fit.num_chains=2",
+        "fit.n_grid=64", "fit.n_z=128",
+    ])
+    assert rc == 0
+    assert (data_dir / "input_manifest.json").exists()
+    assert (data_dir / "pe-samples.h5").exists()
+    assert (data_dir / "trace.h5").exists()
+    assert (data_dir / "trace_cosmo.h5").exists()
+    figs = list((data_dir / "figures").glob("*.pdf"))
+    assert len(figs) >= 7  # mock-branch figure legitimately absent
+    report = data_dir / "report"
+    assert (report / "ms.tex").exists() and (report / "report.pdf").exists()
