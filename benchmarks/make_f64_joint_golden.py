@@ -42,10 +42,13 @@ if __name__ == "__main__":
     )
     assert data.events.a.dtype == jnp.float64
     spec = pop_cosmo_model_spec(data, n_grid=CONFIG["n_grid"], n_z=CONFIG["n_z"])
+    # checkpoint the (2h-on-one-core) warmup + sampling chunks: a killed run
+    # resumes instead of restarting (inference/sampler.py checkpoint_path)
     res = fit(
         spec, jax.random.PRNGKey(CONFIG["fit_seed"]),
         num_warmup=CONFIG["num_warmup"], num_samples=CONFIG["num_samples"],
         num_chains=CONFIG["num_chains"], verbose=True,
+        checkpoint_path=os.path.join(os.path.dirname(__file__), "golden_f64_ckpt.npz"),
     )
     summ = res.summary()
     for site, s in sorted(summ.items()):

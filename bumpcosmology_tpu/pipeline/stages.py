@@ -433,19 +433,41 @@ def _stage_sbc(cfg: PipelineConfig):
         chunk_size=c.fleet_chunk,
     )
     pvals = sbc_uniformity_pvalues(ranks)
-    out = cfg.paths.path("sbc_ranks.h5")
+    bad = write_sbc_artifact(cfg.paths.path("sbc_ranks.h5"), c.model, c.n_sims, ranks, pvals)
+    print("[sbc] uniformity p-values:", {k: round(v, 3) for k, v in pvals.items()})
+    if bad:
+        print(f"[sbc] WARNING: sites failing uniformity at p<0.01: {bad}")
+    else:
+        print(f"[sbc] all {len(pvals)} sites pass uniformity at p>=0.01")
+
+
+def write_sbc_artifact(out, model: str, n_sims: int, ranks: dict, pvals: dict) -> list:
+    """Persist SBC ranks + per-site verdicts; returns the failing sites.
+
+    Pass/fail is stored as first-class datasets (``pvalues/site``,
+    ``pvalues/p``, ``pvalues/passed`` in matching order, plus the ``all_pass``
+    root attr), so the artifact carries its own calibration verdict rather
+    than burying p-values in HDF5 attrs.  Per-site attrs on ``pvalues`` are
+    kept for readers of the older layout (``figures/plots.py:236``).
+    """
+    import h5py
+
+    bad = sorted(k for k, v in pvals.items() if v < 0.01)
     with h5py.File(out, "w") as f:
-        f.attrs["model"] = c.model
+        f.attrs["model"] = model
+        f.attrs["n_sims"] = n_sims
+        f.attrs["all_pass"] = not bad
         g = f.create_group("ranks")
         for k, v in ranks.items():
             g.create_dataset(k.strip("_") if k == "__n_bins__" else k, data=np.asarray(v))
+        sites = sorted(pvals)
         g2 = f.create_group("pvalues")
+        g2.create_dataset("site", data=np.array(sites, dtype="S32"))
+        g2.create_dataset("p", data=np.array([pvals[s] for s in sites]))
+        g2.create_dataset("passed", data=np.array([pvals[s] >= 0.01 for s in sites]))
         for k, v in pvals.items():
             g2.attrs[k] = v
-    print("[sbc] uniformity p-values:", {k: round(v, 3) for k, v in pvals.items()})
-    bad = [k for k, v in pvals.items() if v < 0.01]
-    if bad:
-        print(f"[sbc] WARNING: sites failing uniformity at p<0.01: {bad}")
+    return bad
 
 
 def _stage_figures(cfg: PipelineConfig):

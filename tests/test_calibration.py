@@ -175,3 +175,25 @@ def test_fresh_noise_simulator_snr_channel():
         u, g = jax.value_and_grad(make_potential(spec))(theta)
         assert np.isfinite(np.asarray(u))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_write_sbc_artifact_verdict_datasets(tmp_path):
+    """The SBC artifact carries per-site verdicts as datasets, not just attrs."""
+    import h5py
+
+    from bumpcosmology_tpu.pipeline.stages import write_sbc_artifact
+
+    ranks = {"lam": np.arange(8), "h": np.arange(8), "__n_bins__": 64}
+    pvals = {"lam": 0.002, "h": 0.73}
+    bad = write_sbc_artifact(tmp_path / "r.h5", "pop_cosmo", 8, ranks, pvals)
+    assert bad == ["lam"]
+    with h5py.File(tmp_path / "r.h5") as f:
+        assert not f.attrs["all_pass"]
+        assert int(f.attrs["n_sims"]) == 8
+        sites = [s.decode() for s in f["pvalues/site"][:]]
+        p = dict(zip(sites, f["pvalues/p"][:]))
+        passed = dict(zip(sites, f["pvalues/passed"][:]))
+        assert p["lam"] == pytest.approx(0.002) and not passed["lam"]
+        assert p["h"] == pytest.approx(0.73) and passed["h"]
+        # older-layout readers (figures/plots.py) still see per-site attrs
+        assert dict(f["pvalues"].attrs)["h"] == pytest.approx(0.73)
