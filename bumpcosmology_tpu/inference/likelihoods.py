@@ -306,14 +306,33 @@ def _cosmo_frame_logwts(pop, cosmo: CosmologyTable, a, q, dl, log_pdraw):
     )
 
 
+_LOGWTS_IMPL_OVERRIDE = None  # None = XLA everywhere; "pallas" | "xla"
+
+
+def set_logwts_impl(mode) -> None:
+    """Force the fused detector-frame log-weight implementation: ``"pallas"``
+    (single VMEM-resident kernel, :mod:`bumpcosmology_tpu.ops.pallas_logwts`),
+    ``"xla"`` (tiled-contraction jnp path), or ``None`` (the default — XLA;
+    measured on v5e the XLA fusion keeps parity, see README)."""
+    global _LOGWTS_IMPL_OVERRIDE
+    assert mode in (None, "pallas", "xla")
+    _LOGWTS_IMPL_OVERRIDE = mode
+
+
 def _cosmo_frame_logwts_fused(pop, det, a, q, dl, log_pdraw):
     """Detector-frame weight via the log(dL)-keyed :class:`DetectorFrameTable`.
 
     Same mathematics as :func:`_cosmo_frame_logwts` (z lookup + full frame
     Jacobian) but all cosmology-dependent per-sample quantities come from ONE
     two-column tiled contraction whose bracket weights depend only on the
-    (constant) data — the HBM-traffic fix for the flagship hot loop.
+    (constant) data — the HBM-traffic fix for the flagship hot loop.  With
+    ``set_logwts_impl("pallas")`` the whole chain instead runs inside one
+    Pallas kernel (value+VJP parity pinned by ``tests/test_pallas_logwts.py``).
     """
+    if _LOGWTS_IMPL_OVERRIDE == "pallas":
+        from bumpcosmology_tpu.ops.pallas_logwts import cosmo_frame_logwts_pallas
+
+        return cosmo_frame_logwts_pallas(pop, det, a, q, dl, log_pdraw)
     z, log_jac = z_and_logjac_at_dl(det, dl)
     m1 = a / (1.0 + z)
     return (
