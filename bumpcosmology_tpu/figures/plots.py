@@ -260,6 +260,40 @@ def sbc_ranks_hist(ranks_path, out="figures/sbc_ranks.pdf"):
     return _finish(out)
 
 
+def event_influence(influence_path, out="figures/event_influence.pdf", top_sites=12):
+    """Per-event leave-one-out influence heatmap (sites × events, in
+    full-posterior-sd units) from the ``loo`` pipeline stage's artifact.
+    Beyond reference parity: flags events that single-handedly move a
+    hyperparameter (|z| ≳ 1)."""
+    import h5py
+
+    with h5py.File(influence_path, "r") as f:
+        model = f.attrs.get("model", "?")
+        events = [e.decode() for e in f["event"][:]]
+        z = {k: np.asarray(f[k]["z"]) for k in f.keys() if k != "event"}
+
+    # rank sites by their largest single-event influence
+    sites = sorted(z, key=lambda s: -np.max(np.abs(z[s])))[:top_sites]
+    mat = np.stack([z[s] for s in sites])
+    lim = max(1.0, float(np.max(np.abs(mat))))
+    fig, ax = plt.subplots(
+        figsize=(max(6.0, 0.28 * len(events) + 2.0), 0.4 * len(sites) + 1.6)
+    )
+    im = ax.imshow(mat, aspect="auto", cmap="RdBu_r", vmin=-lim, vmax=lim)
+    ax.set_yticks(range(len(sites)))
+    ax.set_yticklabels(sites, fontsize=8)
+    step = max(1, len(events) // 28)
+    ax.set_xticks(range(0, len(events), step))
+    ax.set_xticklabels(
+        [events[i] for i in range(0, len(events), step)],
+        rotation=90, fontsize=6,
+    )
+    ax.set_xlabel("event removed")
+    fig.colorbar(im, ax=ax, label=r"$\Delta$ posterior mean / full sd")
+    ax.set_title(f"Leave-one-out event influence — {model} model", fontsize=10)
+    return _finish(out)
+
+
 FIGURES = {
     "dNdm_fitted": (dndm_fitted, "trace.h5"),
     "cosmo_params_corner": (cosmo_params_corner, "trace_cosmo.h5"),
@@ -275,6 +309,7 @@ FIGURES = {
 # (FIGURES is the strict 8-figure reference-parity set).
 EXTRA_FIGURES = {
     "sbc_ranks": (sbc_ranks_hist, "sbc_ranks.h5"),
+    "event_influence": (event_influence, "influence.h5"),
 }
 
 

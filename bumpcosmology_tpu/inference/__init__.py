@@ -23,3 +23,9 @@ from bumpcosmology_tpu.inference.likelihoods import (
     POP_PRIORS,
     POP_COSMO_PRIORS,
 )
+from bumpcosmology_tpu.inference.influence import (
+    LooResult,
+    influence_summary,
+    loo_fit,
+    make_loo_datas,
+)

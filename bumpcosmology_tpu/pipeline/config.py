@@ -120,12 +120,25 @@ class SBCConfig:
 
 
 @dataclass
+class LooConfig:
+    """Leave-one-out event-influence fleet (``pipeline loo``)."""
+
+    model: str = "pop_cosmo"  # which fit to diagnose ("pop" or "pop_cosmo")
+    num_warmup: int = 400
+    num_samples: int = 256
+    fleet_chunk: int = 5
+    max_depth: int = 8
+    seed: int = 515151
+
+
+@dataclass
 class PipelineConfig:
     paths: PathsConfig = field(default_factory=PathsConfig)
     ingest: IngestConfig = field(default_factory=IngestConfig)
     fit: FitConfig = field(default_factory=FitConfig)
     mock: MockConfig = field(default_factory=MockConfig)
     sbc: SBCConfig = field(default_factory=SBCConfig)
+    loo: LooConfig = field(default_factory=LooConfig)
 
     @classmethod
     def load(cls, json_path: Optional[str] = None, overrides: Optional[list] = None):

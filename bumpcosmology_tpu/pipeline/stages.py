@@ -470,6 +470,101 @@ def write_sbc_artifact(out, model: str, n_sims: int, ranks: dict, pvals: dict) -
     return bad
 
 
+def _stage_loo(cfg: PipelineConfig):
+    """Leave-one-out event-influence diagnostics → ``influence.h5``.
+
+    Refits the catalog nobs times, each with one event removed, as a single
+    lockstep fleet (:mod:`bumpcosmology_tpu.inference.influence`), and scores
+    each event's influence on every scalar site against the full-catalog
+    trace in posterior-sd units.  A per-event capability the reference does
+    not have (its closure-based model would recompile per refit).
+    """
+    import jax
+
+    from bumpcosmology_tpu.inference.influence import influence_summary, loo_fit
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+    from bumpcosmology_tpu.utils.trace import load_trace
+
+    c = cfg.loo
+    pe = read_table(cfg.paths.path("pe-samples.h5"))
+    sel = read_table(cfg.paths.path("selection-samples.h5"))
+
+    if c.model == "pop_cosmo":
+        from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
+        from bumpcosmology_tpu.inference.likelihoods import (
+            dl_bounds_of,
+            make_pop_cosmo_data,
+            pop_cosmo_loglike,
+            pop_cosmo_model_spec,
+        )
+
+        for df, wt_col in ((pe, "wt"), (sel, "pdraw")):
+            df["m1d"] = df["m1"] * (1.0 + df["z"])
+            df["dl"] = planck18_dl_np(df["z"].to_numpy())
+            df["pdraw_cosmo"] = df[wt_col] * dm1sqz_dm1ddqdl(
+                df["m1"].to_numpy(), df["q"].to_numpy(), df["z"].to_numpy()
+            )
+        names, (m1d, qs, dls, pdraws) = group_events(pe, cols=("m1d", "q", "dl", "pdraw_cosmo"))
+        data = make_pop_cosmo_data(
+            m1d, qs, dls, pdraws,
+            sel["m1d"].to_numpy(), sel["q"].to_numpy(), sel["dl"].to_numpy(),
+            sel["pdraw_cosmo"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+        )
+        spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+        bounds = dl_bounds_of(data, margin=0.1)
+        loglike = lambda s, d: pop_cosmo_loglike(s, d, cfg.fit.n_grid, cfg.fit.n_z, bounds)
+        trace_path = cfg.paths.path("trace_cosmo.h5")
+    else:
+        from bumpcosmology_tpu.inference.likelihoods import (
+            make_pop_data,
+            pop_loglike,
+            pop_model_spec,
+        )
+
+        names, (m1s, qs, zs, wts) = group_events(pe)
+        data = make_pop_data(
+            m1s, qs, zs, wts,
+            sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(),
+            sel["pdraw"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+        )
+        spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
+        loglike = lambda s, d: pop_loglike(s, d, cfg.fit.n_grid)
+        trace_path = cfg.paths.path("trace.h5")
+
+    loo = loo_fit(
+        spec, loglike, data, jax.random.PRNGKey(c.seed),
+        num_warmup=c.num_warmup, num_samples=c.num_samples,
+        cfg=NutsConfig(max_depth=c.max_depth), chunk_size=c.fleet_chunk,
+    )
+    full = load_trace(trace_path).posterior
+    infl = influence_summary(loo, full)
+    out = cfg.paths.path("influence.h5")
+    write_influence_artifact(out, c.model, names, infl)
+    worst = max(
+        ((site, i, float(v["z"][i])) for site, v in infl.items() for i in range(len(v["z"]))),
+        key=lambda t: abs(t[2]),
+        default=None,
+    )
+    if worst is not None:
+        print(
+            f"[loo] most influential: event {names[worst[1]]} on site {worst[0]} "
+            f"(z = {worst[2]:+.2f} posterior sds); artifact {out}"
+        )
+
+
+def write_influence_artifact(out, model: str, names, infl: dict) -> None:
+    """Persist the per-event influence summary (sites × events)."""
+    import h5py
+
+    with h5py.File(out, "w") as f:
+        f.attrs["model"] = model
+        f.create_dataset("event", data=np.array([str(n) for n in names], dtype="S64"))
+        for site, v in infl.items():
+            g = f.create_group(site)
+            for k in ("mean_loo", "delta_mean", "z"):
+                g.create_dataset(k, data=np.asarray(v[k]))
+
+
 def _stage_figures(cfg: PipelineConfig):
     """Render all figures whose artifacts exist (L5 of the reference DAG)."""
     from bumpcosmology_tpu.figures.plots import render_all
@@ -552,6 +647,17 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 "sbc",
                 lambda: _stage_sbc(cfg),
                 outputs=[p("sbc_ranks.h5")],
+            ),
+            Stage(
+                "loo",
+                lambda: _stage_loo(cfg),
+                inputs=[
+                    p("pe-samples.h5"),
+                    p("selection-samples.h5"),
+                    p("trace_cosmo.h5" if cfg.loo.model == "pop_cosmo" else "trace.h5"),
+                ],
+                outputs=[p("influence.h5")],
+                after=["sample_cosmo" if cfg.loo.model == "pop_cosmo" else "sample"],
             ),
             Stage(
                 "mock_year_samples",
