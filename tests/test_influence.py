@@ -47,7 +47,11 @@ def test_make_loo_datas_drops_the_right_event():
         make_loo_datas(_catalog(nobs=1))
 
 
+@pytest.mark.slow
 def test_loo_fit_and_influence_summary():
+    # slow tier: a real (tiny) LOO fleet fit, ~3 min of mostly compile on one
+    # CPU core.  Fast-tier coverage: make_loo_datas above, the artifact/figure
+    # test below, and the fleet mechanics in test_run_sbc_fleet_joint_model_smoke.
     data = _catalog()
     spec = pop_model_spec(data, n_grid=64)
     loo = loo_fit(

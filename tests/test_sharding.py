@@ -50,14 +50,15 @@ def test_sharded_pop_loglike_matches_dense(cpu_devices):
     np.testing.assert_allclose(got, dense, rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sharded_pop_loglike_grad_matches_dense(cpu_devices):
-    # n_grid=64 keeps the (slow-to-compile) grad-of-shard_map program small;
-    # the collective-gradient path is identical at any grid size
+    # slow tier: grad-of-shard_map compile alone is ~4 min on one CPU core.
+    # Fast-tier coverage of the collective-gradient path: the value-match
+    # test above and dryrun_multichip's dense-vs-sharded value/grad sweep
+    # (run by the driver every round).
     sites, data = _sites(seed=1)
     # 4 devices: the collective-gradient path is identical at any mesh width,
     # and grad-of-shard_map compile time scales steeply with device count
-    # (round-3 suite-time fix; 8-device coverage lives in the slow tier and
-    # the driver's dryrun_multichip)
     mesh = make_mesh(devices=cpu_devices[:4])
     sharded_fn = make_sharded_pop_loglike(mesh, data, n_grid=64)
 
