@@ -13,10 +13,11 @@ dimension) at 4/16/64 chains on the same adapted kernels.
 
 Workload: the flagship joint population+cosmology fit (reference
 ``run_cosmo_fit.py``) on the committed flagship catalog
-(``benchmarks/flagship_catalog.npz`` — 56 events x 256 PE samples, 8192
-injections; the MC-axis sizing that makes the posterior geometry smooth, see
-``docs/DESIGN.md`` §5a) at the reference NUTS configuration (4 chains, dense
-mass matrix, ``run_cosmo_fit.py:17-19,45-49``).
+(``benchmarks/flagship_catalog.npz`` — 56 events x 256 PE samples, 24,576
+unique injections; the MC-axis sizing that keeps selection-integral noise
+below the 1.0-nat posterior-corruption bar, see ``docs/DESIGN.md`` §5a) at
+the reference NUTS configuration (4 chains, dense mass matrix,
+``run_cosmo_fit.py:17-19,45-49``).
 
 Method — both backends sample from the SAME adapted state
 (``benchmarks/flagship_warmup.npz``: positions, step sizes, dense mass matrix

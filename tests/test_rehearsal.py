@@ -134,6 +134,21 @@ def test_real_data_pipeline_journey(tmp_path):
     for p in made:
         assert p.exists() and p.stat().st_size > 0
 
+    # the leave-one-out influence stage rides the same artifacts
+    import h5py
+
+    cfg.loo.model = "pop"
+    cfg.loo.num_warmup = 100
+    cfg.loo.num_samples = 64
+    pipe.run(["loo"])
+    assert (data_dir / "influence.h5").exists()
+    with h5py.File(data_dir / "influence.h5") as f:
+        nobs = len(f["event"])
+        assert nobs >= 2
+        assert f["h" if "h" in f else "a"]["z"].shape == (nobs,)
+    made2 = render_all(cfg, out_dir=out, skip_missing=False)
+    assert any(str(p).endswith("event_influence.pdf") for p in made2)
+
 
 @pytest.mark.slow
 def test_pipeline_all_rehearsal_one_command(tmp_path):
