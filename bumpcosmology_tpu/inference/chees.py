@@ -46,7 +46,7 @@ from bumpcosmology_tpu.inference.nuts import (
     warmup_schedule,
 )
 
-__all__ = ["CheesConfig", "CheesResult", "run_chees"]
+__all__ = ["CheesConfig", "CheesResult", "run_chees", "run_chees_from_warmup"]
 
 
 class CheesConfig(NamedTuple):
@@ -150,18 +150,25 @@ def _chees_iteration(potential_fn, state, eps, n_steps, cov, chol, adam, da, wf,
 
 
 @partial(jax.jit, static_argnames=("potential_fn", "n_iters"))
-def _chees_sample_chunk(potential_fn, state, eps, n_steps, cov, chol, key, n_iters: int):
+def _chees_sample_chunk(potential_fn, state, eps, n_steps_arr, cov, chol, key, n_iters: int):
+    """``n_iters`` HMC iterations; ``n_steps_arr`` (n_iters,) int32 gives each
+    iteration's leapfrog count (the sampling-phase trajectory jitter — kept
+    per the ChEES paper to break resonances; a scanned input, so one compiled
+    program serves every jitter value)."""
     nchains = state.theta.shape[0]
     vag = jax.value_and_grad(potential_fn)
 
-    def step(state, step_key):
+    def step(state, xs):
+        step_key, n_steps = xs
         keys = jax.random.split(step_key, nchains)
         new_state, accept, _, _ = jax.vmap(
             lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
         )(state, keys)
         return new_state, (new_state.theta, accept)
 
-    state, (thetas, accepts) = jax.lax.scan(step, state, jax.random.split(key, n_iters))
+    state, (thetas, accepts) = jax.lax.scan(
+        step, state, (jax.random.split(key, n_iters), n_steps_arr)
+    )
     return state, thetas, accepts
 
 
@@ -172,6 +179,141 @@ class CheesResult(NamedTuple):
     trajectory_length: jnp.ndarray
     n_leapfrog: int
     warm: WarmupResult
+
+
+@partial(jax.jit, static_argnames=("potential_fn",))
+def _t_adapt_iteration(potential_fn, state, eps, n_steps, cov, chol, adam, key, adam_hp):
+    """One trajectory-length adaptation iteration at FIXED (eps, mass):
+    batched jittered HMC step + ChEES Adam update on log T."""
+    lr, b1, b2 = adam_hp
+    nchains = state.theta.shape[0]
+    vag = jax.value_and_grad(potential_fn)
+    keys = jax.random.split(key, nchains)
+
+    new_state, accept, theta_prop, p_prop = jax.vmap(
+        lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
+    )(state, keys)
+
+    mean_old = jnp.mean(state.theta, axis=0)
+    mean_prop = jnp.mean(theta_prop, axis=0)
+    d_old = state.theta - mean_old
+    d_prop = theta_prop - mean_prop
+    delta = jnp.sum(d_prop * d_prop, axis=1) - jnp.sum(d_old * d_old, axis=1)
+    proj = jnp.sum(d_prop * p_prop, axis=1)
+    w = accept / jnp.maximum(jnp.sum(accept), 1e-6)
+    grad_t = jnp.sum(w * delta * proj)
+
+    count = adam.count + 1.0
+    m = b1 * adam.m + (1 - b1) * grad_t
+    v = b2 * adam.v + (1 - b2) * grad_t * grad_t
+    m_hat = m / (1 - b1**count)
+    v_hat = v / (1 - b2**count)
+    log_t = adam.log_t + lr * m_hat / (jnp.sqrt(v_hat) + 1e-8)
+    new_adam = _AdamState(log_t=log_t, m=m, v=v, count=count)
+    return new_state, new_adam, jnp.mean(accept)
+
+
+def run_chees_from_warmup(
+    potential_fn: Callable,
+    warm: WarmupResult,
+    key: jnp.ndarray,
+    num_adapt: int = 150,
+    num_samples: int = 500,
+    cfg: CheesConfig = CheesConfig(max_leapfrogs=96),
+    init_steps: int = 16,
+    verbose: bool = False,
+) -> CheesResult:
+    """ChEES sampling from a NUTS-adapted state (the production TPU config).
+
+    Vectorized NUTS pays a ragged-tree tax: under ``vmap`` every lockstep
+    batch runs at the *deepest* chain's trajectory cost, so total draw
+    throughput FALLS as chains are added (measured 82.6 → 70.4 → 53.1
+    draws/s at 4/16/64 chains on the flagship joint fit).  Fixed-length
+    jittered HMC vectorizes perfectly; what it needs — a step size, a dense
+    mass matrix, converged positions — the NUTS windowed warmup already
+    produced.  So: keep ``warm``'s (eps, mass) fixed, adapt ONLY the
+    trajectory length T by the ChEES criterion for ``num_adapt`` iterations
+    (initialized at ``init_steps``·eps, capped at ``cfg.max_leapfrogs``
+    leapfrogs — the cap also bounds the cost of any Adam overshoot), then
+    draw ``num_samples`` with Halton-jittered lengths.
+
+    ``warm.eps``/``warm.cov`` may be per-chain (NUTS adapts per chain);
+    chain 0's kernel is shared across the batch, as in :func:`run_chees`.
+    """
+    nchains, dim = warm.state.theta.shape
+    dtype = warm.state.theta.dtype
+    state = warm.state
+    eps = jnp.asarray(warm.eps)[0] if jnp.ndim(warm.eps) else jnp.asarray(warm.eps)
+    cov = jnp.broadcast_to(warm.cov[0], (1, dim, dim))
+    chol = jnp.broadcast_to(warm.chol_cov[0], (1, dim, dim))
+
+    adam = _AdamState(
+        log_t=jnp.log(jnp.asarray(float(init_steps) * float(eps), dtype)),
+        m=jnp.asarray(0.0, dtype),
+        v=jnp.asarray(0.0, dtype),
+        count=jnp.asarray(0.0, dtype),
+    )
+    adam_hp = (cfg.adam_lr, cfg.adam_b1, cfg.adam_b2)
+
+    accs = []
+    for it in range(num_adapt):
+        key, k = jax.random.split(key)
+        t_now = float(jnp.exp(adam.log_t))
+        n_steps = jnp.asarray(
+            int(np.clip(math.ceil(_halton(it) * t_now / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs)),
+            jnp.int32,
+        )
+        state, adam, acc = _t_adapt_iteration(
+            potential_fn, state, eps, n_steps, cov, chol, adam, k, adam_hp
+        )
+        accs.append(float(acc))
+        if verbose and (it + 1) % 50 == 0:
+            print(
+                f"[chees/adapt] {it + 1}/{num_adapt} T={t_now:.3g} "
+                f"accept={np.mean(accs[-50:]):.3f}"
+            )
+
+    t_final = float(jnp.exp(adam.log_t))
+
+    def jitter_steps(i):
+        return int(np.clip(math.ceil(_halton(i) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+
+    n_steps_mean = int(np.clip(math.ceil(0.5 * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+    if verbose:
+        print(f"[chees] T={t_final:.4g} eps={float(eps):.4g} -> ~{n_steps_mean} leapfrogs/draw (jittered)")
+
+    thetas_chunks, accept_chunks = [], []
+    done = 0
+    it = num_adapt
+    iters_per_chunk = max(1, min(50, 2000 // max(n_steps_mean, 1)))
+    while done < num_samples:
+        n = min(iters_per_chunk, num_samples - done)
+        key, k = jax.random.split(key)
+        steps_arr = jnp.asarray([jitter_steps(it + i) for i in range(n)], jnp.int32)
+        state, thetas, accepts = _chees_sample_chunk(
+            potential_fn, state, eps, steps_arr, cov, chol, k, n
+        )
+        thetas_chunks.append(thetas)
+        accept_chunks.append(accepts)
+        done += n
+        it += n
+
+    thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
+    accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+    out_warm = WarmupResult(
+        state=state,
+        eps=jnp.full((nchains,), eps, dtype),
+        cov=jnp.broadcast_to(cov[0], (nchains, dim, dim)),
+        chol_cov=jnp.broadcast_to(chol[0], (nchains, dim, dim)),
+    )
+    return CheesResult(
+        thetas=thetas,
+        accept=accepts,
+        eps=eps,
+        trajectory_length=jnp.asarray(t_final),
+        n_leapfrog=n_steps_mean,
+        warm=out_warm,
+    )
 
 
 def run_chees(
@@ -230,11 +372,14 @@ def run_chees(
 
     eps = jnp.exp(da.log_eps_bar)
     t_final = float(jnp.exp(adam.log_t))
-    # sampling with the mean jitter (E[u] = 1/2) as the fixed length
+    # sampling keeps the Halton trajectory jitter (paper §3: fixed lengths
+    # resonate on near-Gaussian targets); mean count E[u]=1/2 sizes the chunks
+    def jitter_steps(i):
+        return int(np.clip(math.ceil(_halton(i) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+
     n_steps = int(np.clip(math.ceil(0.5 * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
-    n_steps_traced = jnp.asarray(n_steps, jnp.int32)
     if verbose:
-        print(f"[chees] adapted eps={float(eps):.4g} T={t_final:.4g} -> {n_steps} leapfrogs/draw")
+        print(f"[chees] adapted eps={float(eps):.4g} T={t_final:.4g} -> ~{n_steps} leapfrogs/draw (jittered)")
 
     thetas_chunks, accept_chunks = [], []
     done = 0
@@ -244,12 +389,14 @@ def run_chees(
     while done < num_samples:
         n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)
+        steps_arr = jnp.asarray([jitter_steps(it + i) for i in range(n)], jnp.int32)
         state, thetas, accepts = _chees_sample_chunk(
-            potential_fn, state, eps, n_steps_traced, cov, chol, k, n
+            potential_fn, state, eps, steps_arr, cov, chol, k, n
         )
         thetas_chunks.append(thetas)
         accept_chunks.append(accepts)
         done += n
+        it += n
 
     thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
     accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)

@@ -224,6 +224,33 @@ def test_chees_hmc_gaussian_recovery():
     assert np.isfinite(float(res.trajectory_length))
 
 
+def test_chees_from_warmup_gaussian_recovery():
+    """NUTS warmup -> warm-started ChEES (T-only adaptation, jittered
+    sampling) recovers the target moments with the NUTS mass matrix."""
+    from bumpcosmology_tpu.inference.chees import run_chees_from_warmup
+    from bumpcosmology_tpu.inference.nuts import run_warmup, NutsConfig
+
+    rho = 0.7
+    prec = np.linalg.inv(np.array([[1.0, rho], [rho, 1.0]])).astype(np.float32)
+
+    def potential(theta):
+        return 0.5 * theta @ jnp.asarray(prec) @ theta
+
+    theta0 = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
+    warm, _ = run_warmup(potential, theta0, jax.random.PRNGKey(1), 300, NutsConfig())
+    res = run_chees_from_warmup(
+        potential, warm, jax.random.PRNGKey(2), num_adapt=100, num_samples=300
+    )
+    x = np.asarray(res.thetas).reshape(-1, 2)
+    emp = np.cov(x.T)
+    np.testing.assert_allclose(emp[0, 0], 1.0, atol=0.2)
+    np.testing.assert_allclose(emp[0, 1], rho, atol=0.2)
+    assert 0.4 < float(np.asarray(res.accept).mean()) <= 1.0
+    assert res.n_leapfrog >= 1
+    # adaptation touched T but kept the NUTS kernel's eps
+    np.testing.assert_allclose(float(res.eps), float(np.asarray(warm.eps)[0]))
+
+
 @pytest.mark.slow
 def test_fit_with_chees_sampler():
     from bumpcosmology_tpu.inference.sampler import fit
