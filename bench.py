@@ -42,6 +42,14 @@ wall-clock differs:
 
 ``vs_baseline`` = accelerator ESS/s over CPU ESS/s, traceable to
 ``BASELINE.json``'s ≥50x north-star target.
+
+The accelerator additionally measures the ``nuts+chees`` hybrid (NUTS-adapted
+kernels, fixed-length jittered-HMC sampling — no ragged-tree tax) at 64
+chains; the headline ``value`` is the best measured configuration and the
+``sampler`` field names it.  Hybrid ESS is measured directly from its own
+timed draws, so the kernel-identity argument is not needed for it; the CPU
+conversion always uses the NUTS kernels' ESS-per-draw (the reference runs
+NUTS).
 """
 from __future__ import annotations
 
@@ -59,10 +67,20 @@ WARMUP = HERE / "benchmarks" / "flagship_warmup.npz"
 WARMUP16 = HERE / "benchmarks" / "flagship_warmup16.npz"
 
 N_CHAINS_CPU = 4  # the reference configuration (run_cosmo_fit.py:18)
-N_CHAINS_ACCEL = 16  # TPU-native vectorized-chain configuration
+N_CHAINS_ACCEL = 16  # TPU-native vectorized-chain NUTS configuration
 N_ACCEL_DRAWS = 400  # per chain
 CPU_BUDGET_S = 45.0  # CPU timing window (post-compile)
 SEED = 3281922803 % (2**31)
+
+# hybrid (nuts+chees) headline candidate: fixed-length jittered HMC from the
+# same adapted kernels — no ragged-tree tax, so it vectorizes to wide chain
+# batches.  INIT_STEPS = round(T/eps) with T the ChEES-adapted trajectory
+# length for the committed warmup16 kernel (T=10.9 at eps=0.159, 150-iter
+# adaptation on v5e; scratch/r3_chees_widechain2.log) — committed like the
+# warmup itself so the bench pays no adaptation phase.
+N_CHAINS_HYBRID = 64
+HYBRID_DRAWS = 300  # per chain
+HYBRID_INIT_STEPS = 68
 
 
 def log(msg: str) -> None:
@@ -79,7 +97,10 @@ def _prepare(platform: str, warmup_path=None):
     from bumpcosmology_tpu.ops.interp import set_default_method
     from bumpcosmology_tpu.utils.checkpoint import load_warmup
 
-    set_default_method("matmul" if platform in ("tpu", "axon") else "gather")
+    # None = backend-derived default (tiled two-level for unit-spaced lookups,
+    # segment matmul otherwise) — an explicit "matmul" override is honored
+    # literally and would downgrade the hot lookups (~1.9x slower/eval)
+    set_default_method(None if platform in ("tpu", "axon") else "gather")
     dev = jax.devices(platform)[0]
     data = jax.device_put(flagship_pop_cosmo_data(str(CATALOG)), dev)
     spec = pop_cosmo_model_spec(data)
@@ -104,7 +125,7 @@ def _ensure_warmup(platform: str) -> None:
     from bumpcosmology_tpu.ops.interp import set_default_method
     from bumpcosmology_tpu.utils.checkpoint import save_warmup
 
-    set_default_method("matmul" if platform in ("tpu", "axon") else "gather")
+    set_default_method(None if platform in ("tpu", "axon") else "gather")
     dev = jax.devices(platform)[0]
     data = jax.device_put(flagship_pop_cosmo_data(str(CATALOG)), dev)
     spec = pop_cosmo_model_spec(data)
@@ -148,12 +169,14 @@ def bench_accel(platform: str, warm, spec, potential, n_draws: int):
     cfg = NutsConfig()
     key = jax.random.PRNGKey(SEED + 1)
 
-    # compile (one 25-draw chunk — run_sampling reuses it for every chunk)
-    out = run_sampling(potential, warm, key, 25, cfg)
-    jax.block_until_ready(out[0])
+    # compile + decorrelate: one 25-draw chunk (run_sampling reuses the
+    # compiled program for every chunk), carried into the timed phase so
+    # tiled chain replicas have separated before ESS is measured
+    _, _, warm = run_sampling(potential, warm, key, 25, cfg)
+    jax.block_until_ready(warm.state.theta)
 
     t0 = time.perf_counter()
-    thetas, stats, _ = run_sampling(potential, warm, key, n_draws, cfg)
+    thetas, stats, _ = run_sampling(potential, warm, jax.random.PRNGKey(SEED + 9), n_draws, cfg)
     jax.block_until_ready(thetas)
     dt = time.perf_counter() - t0
 
@@ -166,6 +189,43 @@ def bench_accel(platform: str, warm, spec, potential, n_draws: int):
         f"({min_ess / dt:.2f} ESS/s), median depth {depth:.0f}"
     )
     return min_ess / dt, min_ess / total
+
+
+def bench_hybrid(platform: str, warm, spec, potential, n_draws: int):
+    """min_ess_per_sec of the nuts+chees hybrid: fixed-length jittered HMC
+    from the NUTS-adapted kernels at the committed trajectory length.
+
+    A 25-draw unrecorded prefix decorrelates the tiled chain replicas (and
+    compiles the chunk program); the timed phase measures ESS directly."""
+    import jax
+
+    from bumpcosmology_tpu.inference.chees import CheesConfig, run_chees_from_warmup
+
+    n_chains = int(np.asarray(warm.eps).shape[0])
+    cfg = CheesConfig(max_leapfrogs=96)
+    pre = run_chees_from_warmup(
+        potential, warm, jax.random.PRNGKey(SEED + 2), num_adapt=0,
+        num_samples=25, cfg=cfg, init_steps=HYBRID_INIT_STEPS,
+    )
+    jax.block_until_ready(pre.thetas)
+
+    t0 = time.perf_counter()
+    res = run_chees_from_warmup(
+        potential, pre.warm, jax.random.PRNGKey(SEED + 3), num_adapt=0,
+        num_samples=n_draws, cfg=cfg, init_steps=HYBRID_INIT_STEPS,
+    )
+    jax.block_until_ready(res.thetas)
+    dt = time.perf_counter() - t0
+
+    total = n_chains * n_draws
+    min_ess = _min_ess(spec, res.thetas)
+    acc = float(np.mean(np.asarray(res.accept)))
+    log(
+        f"[bench/{platform}] nuts+chees {n_chains} chains: {total} draws in "
+        f"{dt:.1f}s ({total / dt:.1f} draws/s), accept {acc:.2f}, min-ESS "
+        f"{min_ess:.0f} ({min_ess / dt:.2f} ESS/s), ~{res.n_leapfrog} lf/draw"
+    )
+    return min_ess / dt
 
 
 def bench_cpu_rate():
@@ -183,19 +243,28 @@ def bench_cpu_rate():
 
     drawn = 0
     chunks = []
+    chunk_rates = []
     state = warm
     t0 = time.perf_counter()
     while time.perf_counter() - t0 < CPU_BUDGET_S and drawn < N_ACCEL_DRAWS:
         key, k = jax.random.split(key)
+        tc = time.perf_counter()
         thetas, _, state = run_sampling(potential, state, k, 25, cfg)
         jax.block_until_ready(thetas)
+        chunk_rates.append(25 * N_CHAINS_CPU / (time.perf_counter() - tc))
         chunks.append(thetas)
         drawn += 25
     dt = time.perf_counter() - t0
 
     total = N_CHAINS_CPU * drawn
-    rate = total / dt
-    log(f"[bench/cpu] {total} draws in {dt:.1f}s ({rate:.2f} draws/s)")
+    # the shared host's throughput swings ~3x between runs (noisy
+    # neighbors); credit the CPU its best 25-draw chunk — the conservative
+    # (ratio-shrinking) estimate of what this host can actually sustain
+    rate = max(chunk_rates)
+    log(
+        f"[bench/cpu] {total} draws in {dt:.1f}s (mean {total / dt:.2f} "
+        f"draws/s; best chunk {rate:.2f} draws/s used as the baseline)"
+    )
     if drawn >= 100:
         thetas = np.concatenate([np.asarray(c) for c in chunks], axis=1)
         ess = _min_ess(spec, thetas)
@@ -211,6 +280,10 @@ def main():
     os.chdir(HERE)
     import jax
 
+    from bumpcosmology_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # repeat bench runs skip the 1-2 min compiles
+
     accel = None
     for p in ("tpu", "axon"):
         try:
@@ -224,9 +297,13 @@ def main():
     _ensure_warmup(platform)
 
     # CPU-only runs (CI smoke) use the 4-chain state and a short phase; the
-    # accelerator measures a 4/16/64-chain scaling ladder (16 = headline).
+    # accelerator measures a 4/16/64-chain NUTS scaling ladder plus the
+    # nuts+chees hybrid at 64 chains; the headline is the best measured
+    # configuration (ESS always measured directly from the timed draws).
     on_cpu = accel is None
     scaling = []
+    sampler_name = "nuts"
+    accel_chains = N_CHAINS_ACCEL
     if on_cpu:
         spec, potential, warm = _prepare("cpu", WARMUP)
         ess_per_sec, ess_per_draw = bench_accel("cpu", warm, spec, potential, 50)
@@ -237,12 +314,30 @@ def main():
         else:
             warm16 = jax.device_put(_tile_warmup(warm4, 4), jax.devices(platform)[0])
         warm64 = jax.device_put(_tile_warmup(warm16, 4), jax.devices(platform)[0])
-        for warm, n_draws in ((warm4, 200), (warm16, N_ACCEL_DRAWS), (warm64, 150)):
+        for warm, n_draws in ((warm4, 400), (warm16, N_ACCEL_DRAWS), (warm64, 150)):
             n_chains = int(np.asarray(warm.eps).shape[0])
             eps, epd = bench_accel(platform, warm, spec, potential, n_draws)
-            scaling.append({"chains": n_chains, "ess_per_sec": round(float(eps), 3)})
+            scaling.append(
+                {"chains": n_chains, "sampler": "nuts", "ess_per_sec": round(float(eps), 3)}
+            )
             if n_chains == N_CHAINS_ACCEL:
                 ess_per_sec, ess_per_draw = eps, epd
+
+        hybrid_eps = bench_hybrid(platform, warm64, spec, potential, HYBRID_DRAWS)
+        scaling.append(
+            {
+                "chains": N_CHAINS_HYBRID,
+                "sampler": "nuts+chees",
+                "ess_per_sec": round(float(hybrid_eps), 3),
+            }
+        )
+        if hybrid_eps > ess_per_sec:
+            ess_per_sec = hybrid_eps
+            sampler_name = "nuts+chees"
+            accel_chains = N_CHAINS_HYBRID
+        # ess_per_draw stays the NUTS-kernel value: the CPU baseline runs the
+        # reference's own NUTS config, so its ESS/s conversion must use the
+        # NUTS kernels' ESS-per-draw (kernel-identical method)
 
     cpu_cores = os.cpu_count() or 1
     vs_baseline = 1.0
@@ -277,7 +372,8 @@ def main():
                 "vs_baseline_per_core": round(float(vs_baseline_per_core), 2),
                 "cpu_cores": cpu_cores,
                 "cpu_config": f"reference 4-chain NUTS on {cpu_cores} host core(s)",
-                "accel_chains": N_CHAINS_ACCEL,
+                "accel_chains": accel_chains,
+                "sampler": sampler_name,
                 "scaling": scaling,
             }
         )

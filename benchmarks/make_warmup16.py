@@ -21,7 +21,7 @@ import numpy as np
 from bumpcosmology_tpu.ops.interp import set_default_method
 
 PLATFORM = jax.devices()[0].platform
-set_default_method("matmul" if PLATFORM in ("tpu", "axon") else "gather")
+set_default_method(None if PLATFORM in ("tpu", "axon") else "gather")
 
 from bumpcosmology_tpu.benchdata import flagship_pop_cosmo_data
 from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec

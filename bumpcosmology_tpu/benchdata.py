@@ -132,6 +132,18 @@ def flagship_pop_cosmo_data(path=None) -> PopCosmoData:
     benchmarks consume bit-identical inputs; without a committed file this
     fallback generates a smaller-campaign stand-in (expect the padding
     warning at this nsel).
+
+    Caveat (shared with the reference's own mock branch,
+    ``mock_one_year_samples.py``): the PE banks sample the Gaussian
+    measurement law in (log Mc, q, log dL) only — they do NOT condition on
+    the observed-SNR channel that the detection cut and the measurement σ's
+    are driven by.  Fitting such a catalog inherits the one-sided
+    merger-rate-slope offset diagnosed in ``docs/DESIGN.md`` §9.5 (this
+    realization centers λ at 6.39 vs the fiducial 4.7 under both NUTS and
+    the hybrid sampler — a property of the data, not the sampler).  The SBC
+    simulators (``inference/calibration.py``) fold the channel in and are
+    the calibration instrument; this catalog is the *throughput/convergence*
+    instrument.
     """
     import os
 

@@ -60,6 +60,12 @@ class CheesConfig(NamedTuple):
     da_gamma: float = 0.05
     da_t0: float = 10.0
     da_kappa: float = 0.75
+    # sampling-phase trajectory jitter: lengths are u·T with u ~ halton over
+    # [jitter_floor, 1].  A floor > 0 stops spending draws on near-zero
+    # trajectories (high autocorrelation per unit cost) while keeping the
+    # resonance-breaking jitter; adaptation always jitters over (0, 1] as the
+    # ChEES criterion assumes.
+    jitter_floor: float = 0.0
 
 
 class _AdamState(NamedTuple):
@@ -274,18 +280,27 @@ def run_chees_from_warmup(
             )
 
     t_final = float(jnp.exp(adam.log_t))
+    floor = float(cfg.jitter_floor)
 
     def jitter_steps(i):
-        return int(np.clip(math.ceil(_halton(i) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+        u = floor + (1.0 - floor) * _halton(i)
+        return int(np.clip(math.ceil(u * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
 
-    n_steps_mean = int(np.clip(math.ceil(0.5 * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+    n_steps_mean = int(
+        np.clip(math.ceil(0.5 * (1.0 + floor) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs)
+    )
     if verbose:
         print(f"[chees] T={t_final:.4g} eps={float(eps):.4g} -> ~{n_steps_mean} leapfrogs/draw (jittered)")
 
     thetas_chunks, accept_chunks = [], []
     done = 0
     it = num_adapt
-    iters_per_chunk = max(1, min(50, 2000 // max(n_steps_mean, 1)))
+    # per-execution budget in leapfrog·chains: remote-TPU executions are
+    # deadline-limited (~60s on the tunnel); 32k lf·chains ≈ 5s on v5e at
+    # the flagship catalog, and wide chain batches scale the eval linearly
+    iters_per_chunk = max(
+        1, min(50, 32000 // (max(n_steps_mean, 1) * max(nchains, 1)))
+    )
     while done < num_samples:
         n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)
@@ -298,8 +313,12 @@ def run_chees_from_warmup(
         done += n
         it += n
 
-    thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
-    accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+    if thetas_chunks:
+        thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
+        accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+    else:  # num_samples=0: adapt-only call (e.g. to measure T)
+        thetas = jnp.zeros((nchains, 0, dim), dtype)
+        accepts = jnp.zeros((nchains, 0), dtype)
     out_warm = WarmupResult(
         state=state,
         eps=jnp.full((nchains,), eps, dtype),
@@ -373,19 +392,24 @@ def run_chees(
     eps = jnp.exp(da.log_eps_bar)
     t_final = float(jnp.exp(adam.log_t))
     # sampling keeps the Halton trajectory jitter (paper §3: fixed lengths
-    # resonate on near-Gaussian targets); mean count E[u]=1/2 sizes the chunks
-    def jitter_steps(i):
-        return int(np.clip(math.ceil(_halton(i) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+    # resonate on near-Gaussian targets); mean count E[u] sizes the chunks
+    floor = float(cfg.jitter_floor)
 
-    n_steps = int(np.clip(math.ceil(0.5 * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+    def jitter_steps(i):
+        u = floor + (1.0 - floor) * _halton(i)
+        return int(np.clip(math.ceil(u * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs))
+
+    n_steps = int(
+        np.clip(math.ceil(0.5 * (1.0 + floor) * t_final / max(float(eps), 1e-6)), 1, cfg.max_leapfrogs)
+    )
     if verbose:
         print(f"[chees] adapted eps={float(eps):.4g} T={t_final:.4g} -> ~{n_steps} leapfrogs/draw (jittered)")
 
     thetas_chunks, accept_chunks = [], []
     done = 0
-    # bound the per-execution leapfrog budget (remote-TPU executions are
-    # deadline-limited; see nuts._CHUNK rationale)
-    iters_per_chunk = max(1, min(50, 2000 // max(n_steps, 1)))
+    # per-execution budget in leapfrog·chains (remote-TPU executions are
+    # deadline-limited; see nuts._CHUNK rationale and run_chees_from_warmup)
+    iters_per_chunk = max(1, min(50, 32000 // (max(n_steps, 1) * max(nchains, 1))))
     while done < num_samples:
         n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)

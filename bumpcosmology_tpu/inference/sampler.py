@@ -136,12 +136,24 @@ def fit(
     checkpoint_path: Optional[str] = None,
     sampler: str = "nuts",
     warmup_chunk_size: Optional[int] = None,
+    chees_num_adapt: int = 150,
     verbose: bool = True,
 ) -> FitResult:
     """Run NUTS on ``spec``; returns constrained posterior + stats + states.
 
+    ``sampler``: ``"nuts"`` (default), ``"chees"`` (self-contained ChEES-HMC,
+    see :func:`_fit_chees`), or ``"nuts+chees"`` — NUTS windowed warmup, then
+    ChEES trajectory-length adaptation (``chees_num_adapt`` iterations) and a
+    fixed-length jittered-HMC sampling phase.  The hybrid is the production
+    TPU configuration: vectorized NUTS pays a ragged-tree tax in the sampling
+    phase that fixed-length trajectories avoid (measured ~1.7x draw
+    throughput at 16 chains on the flagship joint fit).
+
     ``warmup_state`` (from a previous :class:`FitResult`) skips adaptation —
     the resume path the reference lacks (SURVEY.md §5 checkpoint/resume).
+    Warmup checkpointing (``checkpoint_path``) applies to every sampler;
+    mid-sampling chunk checkpoints are NUTS-only (the hybrid's sampling
+    phase is cheap enough to restart from its warmup checkpoint).
 
     With ``mesh`` given, the chain batch is sharded along the ``chains`` mesh
     axis (the data inside ``spec``'s closure should already be placed with
@@ -157,8 +169,10 @@ def fit(
             spec, potential, k_init, k_warm, num_warmup, num_samples, num_chains,
             deterministics_fn, verbose,
         )
-    if sampler != "nuts":
-        raise ValueError(f"unknown sampler {sampler!r}; use 'nuts' or 'chees'")
+    if sampler not in ("nuts", "nuts+chees"):
+        raise ValueError(
+            f"unknown sampler {sampler!r}; use 'nuts', 'chees', or 'nuts+chees'"
+        )
 
     timings: Dict[str, float] = {}
     if warmup_state is None and checkpoint_path is not None:
@@ -210,34 +224,61 @@ def fit(
     else:
         warm = warmup_state
 
-    t0 = time.perf_counter()
-    sample_progress = None
-    if verbose:
-        def sample_progress(done, total):
-            if done % 100 == 0 or done == total:
-                print(
-                    f"[fit] sampling {done}/{total} ({time.perf_counter() - t0:.0f}s)",
-                    flush=True,
-                )
-    thetas, stats, final = run_sampling(
-        potential, warm, k_sample, num_samples, cfg, progress=sample_progress,
-        checkpoint_path=checkpoint_path,
-    )
-    jax.block_until_ready(thetas)
-    timings["sampling_s"] = time.perf_counter() - t0
+    if sampler == "nuts+chees":
+        # Production TPU configuration: NUTS-quality windowed adaptation
+        # (above), then fixed-length jittered HMC for the sampling phase —
+        # vectorized NUTS pays a ragged-tree tax (every lockstep chain batch
+        # runs at the deepest chain's trajectory cost) that fixed-length
+        # trajectories avoid entirely.  Only the trajectory length is
+        # ChEES-adapted on top of the NUTS (eps, mass).
+        from bumpcosmology_tpu.inference.chees import run_chees_from_warmup
 
-    posterior = {
-        name: np.asarray(vals)
-        for name, vals in constrain(spec, thetas).items()
-    }
-    sample_stats = {
-        "accept_prob": np.asarray(stats.accept_prob),
-        "diverging": np.asarray(stats.diverging),
-        "tree_depth": np.asarray(stats.tree_depth),
-        "n_leapfrog": np.asarray(stats.n_leapfrog),
-        "potential_energy": np.asarray(stats.energy),
-        "step_size": np.asarray(stats.step_size),
-    }
+        t0 = time.perf_counter()
+        res = run_chees_from_warmup(
+            potential, warm, k_sample, num_adapt=chees_num_adapt,
+            num_samples=num_samples, verbose=verbose,
+        )
+        jax.block_until_ready(res.thetas)
+        timings["sampling_s"] = time.perf_counter() - t0
+        thetas = res.thetas
+        final = res.warm
+        posterior = {
+            name: np.asarray(vals) for name, vals in constrain(spec, thetas).items()
+        }
+        acc = np.asarray(res.accept)
+        sample_stats = {
+            "accept_prob": acc,
+            "n_leapfrog": np.full_like(acc, res.n_leapfrog),
+        }
+    else:
+        t0 = time.perf_counter()
+        sample_progress = None
+        if verbose:
+            def sample_progress(done, total):
+                if done % 100 == 0 or done == total:
+                    print(
+                        f"[fit] sampling {done}/{total} ({time.perf_counter() - t0:.0f}s)",
+                        flush=True,
+                    )
+        thetas, stats, final = run_sampling(
+            potential, warm, k_sample, num_samples, cfg, progress=sample_progress,
+            checkpoint_path=checkpoint_path,
+        )
+        jax.block_until_ready(thetas)
+        timings["sampling_s"] = time.perf_counter() - t0
+
+        posterior = {
+            name: np.asarray(vals)
+            for name, vals in constrain(spec, thetas).items()
+        }
+        sample_stats = {
+            "accept_prob": np.asarray(stats.accept_prob),
+            "diverging": np.asarray(stats.diverging),
+            "tree_depth": np.asarray(stats.tree_depth),
+            "n_leapfrog": np.asarray(stats.n_leapfrog),
+            "potential_energy": np.asarray(stats.energy),
+            "step_size": np.asarray(stats.step_size),
+        }
 
     if deterministics_fn is not None:
         t0 = time.perf_counter()
@@ -250,10 +291,12 @@ def fit(
         sam_s = timings["sampling_s"]
         scalar = {k: v for k, v in posterior.items() if np.ndim(v) == 2}
         ess_min = min(s["ess"] for s in summary(scalar).values()) if scalar else float("nan")
+        div = sample_stats.get("diverging")
+        div_note = f"divergences {div.sum():.0f}" if div is not None else "fixed-length HMC"
         print(
             f"[fit] sampling: {total} draws in {sam_s:.1f}s "
             f"({total / sam_s:.1f} draws/s, min-ESS/s {ess_min / sam_s:.2f}, "
-            f"divergences {sample_stats['diverging'].sum():.0f})"
+            f"{div_note})"
         )
     if "selection_noise_nats" in posterior:
         noise = float(np.median(posterior["selection_noise_nats"]))

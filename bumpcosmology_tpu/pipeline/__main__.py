@@ -45,7 +45,18 @@ def main(argv=None):
         "format-faithful rehearsal fixtures (data/rehearsal.py) and complete "
         "the pipeline against them",
     )
+    parser.add_argument(
+        "--no-compile-cache",
+        action="store_true",
+        help="skip the persistent XLA compilation cache (on by default; "
+        "repeat runs then recompile the ~1-2 min NUTS programs from scratch)",
+    )
     args, overrides = parser.parse_known_args(argv)
+
+    if not args.no_compile_cache:
+        from bumpcosmology_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
 
     if args.platform or args.host_devices:
         import jax

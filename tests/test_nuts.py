@@ -268,6 +268,31 @@ def test_fit_with_chees_sampler():
     assert 0.0 < res.sample_stats["accept_prob"].mean() <= 1.0
 
 
+def test_fit_with_hybrid_nuts_chees_sampler():
+    """sampler='nuts+chees': NUTS windowed warmup, then T-only ChEES
+    adaptation and fixed-length jittered sampling — the production TPU
+    configuration (ragged-tree-free sampling phase)."""
+    from bumpcosmology_tpu.inference.sampler import fit
+
+    priors = {
+        "x": Normal(0.0, 1.0),
+        "y": TruncatedNormal(1.0, 2.0, low=0.0),
+    }
+    spec = ModelSpec(priors=priors, loglike=lambda sites: jnp.asarray(0.0))
+    res = fit(
+        spec, jax.random.PRNGKey(11), num_warmup=300, num_samples=300,
+        num_chains=4, sampler="nuts+chees", chees_num_adapt=50, verbose=False,
+    )
+    x = res.posterior["x"]
+    assert x.shape == (4, 300)
+    assert np.isfinite(x).all()
+    assert abs(x.mean()) < 0.2 and abs(x.std() - 1.0) < 0.2
+    assert 0.4 < res.sample_stats["accept_prob"].mean() <= 1.0
+    assert "n_leapfrog" in res.sample_stats
+    # the hybrid's final state reuses the NUTS mass matrix (shared kernel)
+    assert res.final_state.cov.shape == res.warmup_state.cov.shape
+
+
 def test_sampling_checkpoint_resume(tmp_path):
     """Mid-sampling crash recovery: interrupting after a persisted chunk and
     re-running produces exactly the draws of an uninterrupted run."""

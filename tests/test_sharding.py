@@ -133,6 +133,37 @@ def test_sharded_fit_runs_on_mesh(cpu_devices):
     assert np.isfinite(res.sample_stats["accept_prob"]).all()
 
 
+@pytest.mark.slow
+def test_sharded_hybrid_fit_runs_on_mesh(cpu_devices):
+    """The production sampler (nuts+chees) composes with the mesh layout:
+    NUTS warmup and the fixed-length sampling phase both run with chains
+    sharded over the mesh and the data axes sharded over ``data``."""
+    import jax
+    from bumpcosmology_tpu.inference.nuts import NutsConfig
+    from bumpcosmology_tpu.inference.sampler import fit
+
+    sites, data = _sites(seed=10)
+    mesh = make_mesh(n_chain_shards=2, devices=cpu_devices[:8])
+    data_sharded = shard_pop_data(data, mesh)
+    spec = pop_model_spec(data_sharded, n_grid=64)
+    res = fit(
+        spec,
+        jax.random.PRNGKey(1),
+        num_warmup=10,
+        num_samples=6,
+        num_chains=4,
+        cfg=NutsConfig(max_depth=4),
+        mesh=mesh,
+        sampler="nuts+chees",
+        chees_num_adapt=3,
+        verbose=False,
+    )
+    a = res.posterior["a"]
+    assert a.shape == (4, 6)
+    assert np.all(np.isfinite(a))
+    assert np.isfinite(res.sample_stats["accept_prob"]).all()
+
+
 def test_o4_scale_shapes_shard_and_evaluate(cpu_devices):
     """O4-scale axis check at reduced sample count: 1000 events sharded over
     the mesh evaluate without replication of the big arrays."""
