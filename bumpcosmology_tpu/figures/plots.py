@@ -294,6 +294,42 @@ def event_influence(influence_path, out="figures/event_influence.pdf", top_sites
     return _finish(out)
 
 
+def model_compare_fig(compare_path, out="figures/model_compare.pdf"):
+    """Per-event elpd difference (pop_cosmo − pop) and PSIS Pareto k̂ from
+    the ``compare`` pipeline stage's artifact.  Events above the k̂ = 0.7
+    line have unreliable importance ratios (influential data points)."""
+    import h5py
+
+    with h5py.File(compare_path, "r") as f:
+        events = [e.decode() for e in f["event"][:]]
+        elpd = {m: np.asarray(f[m]["elpd_i"]) for m in ("pop", "pop_cosmo")}
+        khat = {m: np.asarray(f[m]["khat"]) for m in ("pop", "pop_cosmo")}
+        best = f.attrs.get("best_model", "?")
+
+    n = len(events)
+    x = np.arange(n)
+    fig, (ax1, ax2) = plt.subplots(
+        2, 1, figsize=(max(6.0, 0.28 * n + 2.0), 5.4), sharex=True,
+        gridspec_kw={"height_ratios": [3, 2]},
+    )
+    d = elpd["pop_cosmo"] - elpd["pop"]
+    ax1.bar(x, d, color=np.where(d >= 0, "C0", "C3"))
+    ax1.axhline(0.0, color="k", lw=0.8)
+    ax1.set_ylabel(r"$\Delta$elpd$_i$ (pop_cosmo $-$ pop)")
+    ax1.set_title(
+        f"Predictive comparison (PSIS-LOO) — preferred: {best}", fontsize=10
+    )
+    for m, c in (("pop", "C1"), ("pop_cosmo", "C0")):
+        ax2.plot(x, khat[m], ".", color=c, label=m)
+    ax2.axhline(0.7, color="r", ls="--", lw=0.8, label=r"$\hat k = 0.7$")
+    ax2.set_ylabel(r"Pareto $\hat k$")
+    step = max(1, n // 28)
+    ax2.set_xticks(x[::step])
+    ax2.set_xticklabels([events[i] for i in range(0, n, step)], rotation=90, fontsize=6)
+    ax2.legend(fontsize=7, loc="upper left")
+    return _finish(out)
+
+
 FIGURES = {
     "dNdm_fitted": (dndm_fitted, "trace.h5"),
     "cosmo_params_corner": (cosmo_params_corner, "trace_cosmo.h5"),
@@ -310,6 +346,7 @@ FIGURES = {
 EXTRA_FIGURES = {
     "sbc_ranks": (sbc_ranks_hist, "sbc_ranks.h5"),
     "event_influence": (event_influence, "influence.h5"),
+    "model_compare": (model_compare_fig, "model_compare.h5"),
 }
 
 

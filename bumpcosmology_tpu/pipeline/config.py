@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, Optional
 
-__all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "SBCConfig", "PipelineConfig"]
+__all__ = ["PathsConfig", "FitConfig", "MockConfig", "IngestConfig", "SBCConfig", "LooConfig", "CompareConfig", "PipelineConfig"]
 
 
 @dataclass
@@ -66,6 +66,9 @@ class FitConfig:
     n_z: int = 1024
     n_chain_shards: int = 1  # mesh rows for the chains axis
     shared_mass: bool = False  # pool mass-matrix adaptation across chains
+    # "nuts" (reference parity), "chees", or "nuts+chees" (NUTS warmup +
+    # fixed-length jittered sampling — the ragged-tree-free TPU config)
+    sampler: str = "nuts"
 
 
 @dataclass
@@ -132,6 +135,15 @@ class LooConfig:
 
 
 @dataclass
+class CompareConfig:
+    """Predictive model comparison (``pipeline compare``): PSIS-LOO + WAIC
+    of pop vs pop_cosmo on their saved traces."""
+
+    max_draws: int = 1024  # posterior draws retained for the pointwise matrix
+    batch: int = 64  # vmapped likelihood evals per device batch
+
+
+@dataclass
 class PipelineConfig:
     paths: PathsConfig = field(default_factory=PathsConfig)
     ingest: IngestConfig = field(default_factory=IngestConfig)
@@ -139,6 +151,7 @@ class PipelineConfig:
     mock: MockConfig = field(default_factory=MockConfig)
     sbc: SBCConfig = field(default_factory=SBCConfig)
     loo: LooConfig = field(default_factory=LooConfig)
+    compare: CompareConfig = field(default_factory=CompareConfig)
 
     @classmethod
     def load(cls, json_path: Optional[str] = None, overrides: Optional[list] = None):

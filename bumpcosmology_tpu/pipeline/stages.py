@@ -168,6 +168,7 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         num_samples=cfg.fit.num_samples,
         num_chains=cfg.fit.num_chains,
         cfg=nuts_cfg,
+        sampler=cfg.fit.sampler,
         deterministics_fn=lambda s: pop_deterministics(s, data, n_grid=cfg.fit.n_grid),
     )
     trace = Trace(res.posterior, res.sample_stats, coords=COORDS, attrs={"model": "pop"})
@@ -225,6 +226,7 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         num_samples=cfg.fit.num_samples,
         num_chains=cfg.fit.num_chains,
         cfg=nuts_cfg,
+        sampler=cfg.fit.sampler,
         deterministics_fn=lambda s: pop_cosmo_deterministics(
             s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
         ),
@@ -552,6 +554,106 @@ def _stage_loo(cfg: PipelineConfig):
         )
 
 
+def _stage_compare(cfg: PipelineConfig):
+    """Predictive model comparison: pop vs pop_cosmo → ``model_compare.h5``.
+
+    PSIS-LOO + WAIC over the per-event likelihood decomposition of both
+    saved traces on the SAME catalog (the reference fits both models,
+    ``run_fit.py``/``run_cosmo_fit.py``, but never compares them).  The
+    per-event Pareto k̂ also flags influential events — the cheap,
+    refit-free complement to ``pipeline loo``.
+    """
+    import h5py
+
+    from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
+    from bumpcosmology_tpu.inference.likelihoods import (
+        dl_bounds_of,
+        make_pop_cosmo_data,
+        make_pop_data,
+        pop_cosmo_model_spec,
+        pop_model_spec,
+    )
+    from bumpcosmology_tpu.inference.model_compare import (
+        compare,
+        pointwise_matrix,
+        pop_cosmo_pointwise_loglike,
+        pop_pointwise_loglike,
+        psis_loo,
+        waic,
+    )
+    from bumpcosmology_tpu.utils.trace import load_trace
+
+    c = cfg.compare
+    pe = read_table(cfg.paths.path("pe-samples.h5"))
+    sel = read_table(cfg.paths.path("selection-samples.h5"))
+
+    # --- pop (source frame, fixed Planck18) ---
+    names, (m1s, qs, zs, wts) = group_events(pe)
+    pop_data = make_pop_data(
+        m1s, qs, zs, wts,
+        sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(),
+        sel["pdraw"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+    )
+    pop_spec = pop_model_spec(pop_data, n_grid=cfg.fit.n_grid)
+    pop_post = load_trace(cfg.paths.path("trace.h5")).posterior
+    ll_pop = pointwise_matrix(
+        lambda s: pop_pointwise_loglike(s, pop_data, cfg.fit.n_grid),
+        pop_post, list(pop_spec.priors), max_draws=c.max_draws, batch=c.batch,
+    )
+
+    # --- pop_cosmo (detector frame; same conversion as run_pop_cosmo_fit) ---
+    for df, wt_col in ((pe, "wt"), (sel, "pdraw")):
+        df["m1d"] = df["m1"] * (1.0 + df["z"])
+        df["dl"] = planck18_dl_np(df["z"].to_numpy())
+        df["pdraw_cosmo"] = df[wt_col] * dm1sqz_dm1ddqdl(
+            df["m1"].to_numpy(), df["q"].to_numpy(), df["z"].to_numpy()
+        )
+    names2, (m1d, qs2, dls, pdraws) = group_events(pe, cols=("m1d", "q", "dl", "pdraw_cosmo"))
+    assert names2 == names
+    cosmo_data = make_pop_cosmo_data(
+        m1d, qs2, dls, pdraws,
+        sel["m1d"].to_numpy(), sel["q"].to_numpy(), sel["dl"].to_numpy(),
+        sel["pdraw_cosmo"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+    )
+    cosmo_spec = pop_cosmo_model_spec(cosmo_data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+    bounds = dl_bounds_of(cosmo_data, margin=0.1)
+    cosmo_post = load_trace(cfg.paths.path("trace_cosmo.h5")).posterior
+    ll_cosmo = pointwise_matrix(
+        lambda s: pop_cosmo_pointwise_loglike(
+            s, cosmo_data, cfg.fit.n_grid, cfg.fit.n_z, bounds
+        ),
+        cosmo_post, list(cosmo_spec.priors), max_draws=c.max_draws, batch=c.batch,
+    )
+
+    matrices = {"pop": ll_pop, "pop_cosmo": ll_cosmo}
+    loos = {k: psis_loo(v) for k, v in matrices.items()}
+    waics = {k: waic(v) for k, v in matrices.items()}
+    table = compare(loos)
+    print("[compare]\n" + table)
+    for name, r in loos.items():
+        bad = [(names[i], float(r.khat[i])) for i in np.nonzero(r.khat > 0.7)[0]]
+        if bad:
+            print(f"[compare] {name}: Pareto k̂ > 0.7 (PSIS unreliable) for {bad}")
+
+    out = cfg.paths.path("model_compare.h5")
+    with h5py.File(out, "w") as f:
+        f.attrs["table"] = table
+        f.attrs["best_model"] = max(loos, key=lambda k: loos[k].elpd)
+        f.create_dataset("event", data=np.array([str(n) for n in names], dtype="S64"))
+        for name in matrices:
+            g = f.create_group(name)
+            r, w = loos[name], waics[name]
+            g.create_dataset("elpd_i", data=r.elpd_i)
+            g.create_dataset("khat", data=r.khat)
+            g.create_dataset("pointwise", data=matrices[name])
+            g.attrs.update(
+                elpd=r.elpd, se=r.se, p_loo=r.p_loo,
+                waic_elpd=w.elpd, waic_se=w.se, p_waic=w.p_waic,
+                n_draws=matrices[name].shape[0],
+            )
+    return table
+
+
 def write_influence_artifact(out, model: str, names, infl: dict) -> None:
     """Persist the per-event influence summary (sites × events)."""
     import h5py
@@ -658,6 +760,18 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 ],
                 outputs=[p("influence.h5")],
                 after=["sample_cosmo" if cfg.loo.model == "pop_cosmo" else "sample"],
+            ),
+            Stage(
+                "compare",
+                lambda: _stage_compare(cfg),
+                inputs=[
+                    p("pe-samples.h5"),
+                    p("selection-samples.h5"),
+                    p("trace.h5"),
+                    p("trace_cosmo.h5"),
+                ],
+                outputs=[p("model_compare.h5")],
+                after=["sample", "sample_cosmo"],
             ),
             Stage(
                 "mock_year_samples",

@@ -149,6 +149,20 @@ def test_real_data_pipeline_journey(tmp_path):
     made2 = render_all(cfg, out_dir=out, skip_missing=False)
     assert any(str(p).endswith("event_influence.pdf") for p in made2)
 
+    # predictive model comparison rides the same two traces
+    cfg.compare.max_draws = 64
+    cfg.compare.batch = 16
+    pipe.run(["compare"])
+    assert (data_dir / "model_compare.h5").exists()
+    with h5py.File(data_dir / "model_compare.h5") as f:
+        assert f.attrs["best_model"] in ("pop", "pop_cosmo")
+        for model in ("pop", "pop_cosmo"):
+            assert f[model]["elpd_i"].shape == (nobs,)
+            assert f[model]["khat"].shape == (nobs,)
+            assert np.isfinite(f[model].attrs["elpd"])
+            assert f[model].attrs["n_draws"] == 64
+        assert "pop" in f.attrs["table"] and "pop_cosmo" in f.attrs["table"]
+
 
 @pytest.mark.slow
 def test_pipeline_all_rehearsal_one_command(tmp_path):

@@ -64,6 +64,39 @@ def test_warmup_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back.state.theta), np.ones((2, 3)))
 
 
+def test_compilation_cache_enable(tmp_path, monkeypatch):
+    """enable_compilation_cache points jax at the dir and persists entries.
+
+    The cache key includes compiler version + topology, so the CPU test mesh
+    exercises the same wiring the TPU entry points use (pipeline CLI,
+    bench.py).  min_compile_time_secs=0 forces even trivial programs in.
+    """
+    from bumpcosmology_tpu.utils.compile_cache import enable_compilation_cache
+
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        path = enable_compilation_cache(str(tmp_path / "xla"), min_compile_time_secs=0.0)
+        assert path is not None and path.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(path)
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * jnp.arange(7.0)[3]
+
+        f(jnp.ones((4,))).block_until_ready()
+        assert any(path.iterdir()), "no cache entry written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
+
+    # env-var resolution path
+    monkeypatch.setenv("BUMPCOSMOLOGY_CACHE_DIR", str(tmp_path / "envdir"))
+    try:
+        path2 = enable_compilation_cache()
+        assert path2 == tmp_path / "envdir"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prior)
+
+
 def test_phase_timer_and_xla_cost():
     from bumpcosmology_tpu.utils.profiling import PhaseTimer, xla_cost
 
@@ -159,6 +192,28 @@ def test_sbc_ranks_figure_renders(tmp_path):
         for site in ("h", "Om", "w", "mpisn", "sigma"):
             g2.attrs[site] = 0.5
     out = sbc_ranks_hist(path, out=tmp_path / "sbc_ranks.pdf")
+    assert out.exists() and out.stat().st_size > 0
+
+
+def test_model_compare_figure_renders(tmp_path):
+    """The beyond-parity comparison figure renders from a model_compare.h5."""
+    import h5py
+
+    from bumpcosmology_tpu.figures.plots import model_compare_fig
+
+    rng = np.random.default_rng(4)
+    path = tmp_path / "model_compare.h5"
+    n = 14
+    with h5py.File(path, "w") as f:
+        f.attrs["best_model"] = "pop_cosmo"
+        f.attrs["table"] = "model elpd ..."
+        f.create_dataset("event", data=np.array([f"GW_{i}" for i in range(n)], dtype="S64"))
+        for m in ("pop", "pop_cosmo"):
+            g = f.create_group(m)
+            g.create_dataset("elpd_i", data=rng.normal(-3.0, 0.5, n))
+            g.create_dataset("khat", data=rng.uniform(0.0, 0.9, n))
+            g.attrs.update(elpd=-40.0, se=2.0, p_loo=3.0)
+    out = model_compare_fig(path, out=tmp_path / "model_compare.pdf")
     assert out.exists() and out.stat().st_size > 0
 
 
