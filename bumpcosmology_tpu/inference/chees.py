@@ -88,7 +88,9 @@ def _halton(i: int, base: int = 2) -> float:
 
 def _hmc_step(value_and_grad, state: ChainState, eps, n_steps, cov, chol, key):
     """One fixed-length HMC proposal for a single chain; returns the new state,
-    the accept probability, and (θ', p') for the ChEES gradient."""
+    the accept probability, a divergence flag (energy error > 1000 nats, the
+    same threshold as NUTS ``max_delta_energy``), and (θ', p') for the ChEES
+    gradient."""
     dim = state.theta.shape[0]
     dtype = state.theta.dtype
     k_mom, k_acc = jax.random.split(key)
@@ -104,13 +106,14 @@ def _hmc_step(value_and_grad, state: ChainState, eps, n_steps, cov, chol, key):
     h1 = u + _kinetic(p, cov)
     h1 = jnp.where(jnp.isnan(h1), jnp.inf, h1)
     accept_prob = jnp.exp(jnp.minimum(h0 - h1, 0.0))
+    diverging = (h1 - h0) > 1000.0
     take = jax.random.uniform(k_acc, dtype=dtype) < accept_prob
     new = ChainState(
         theta=jnp.where(take, theta, state.theta),
         u=jnp.where(take, u, state.u),
         grad=jnp.where(take, grad, state.grad),
     )
-    return new, accept_prob, theta, p
+    return new, accept_prob, diverging, theta, p
 
 
 @partial(jax.jit, static_argnames=("potential_fn",))
@@ -122,7 +125,7 @@ def _chees_iteration(potential_fn, state, eps, n_steps, cov, chol, adam, da, wf,
     vag = jax.value_and_grad(potential_fn)
     keys = jax.random.split(key, nchains)
 
-    new_state, accept, theta_prop, p_prop = jax.vmap(
+    new_state, accept, _, theta_prop, p_prop = jax.vmap(
         lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
     )(state, keys)
 
@@ -167,15 +170,15 @@ def _chees_sample_chunk(potential_fn, state, eps, n_steps_arr, cov, chol, key, n
     def step(state, xs):
         step_key, n_steps = xs
         keys = jax.random.split(step_key, nchains)
-        new_state, accept, _, _ = jax.vmap(
+        new_state, accept, div, _, _ = jax.vmap(
             lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
         )(state, keys)
-        return new_state, (new_state.theta, accept)
+        return new_state, (new_state.theta, accept, div)
 
-    state, (thetas, accepts) = jax.lax.scan(
+    state, (thetas, accepts, divs) = jax.lax.scan(
         step, state, (jax.random.split(key, n_iters), n_steps_arr)
     )
-    return state, thetas, accepts
+    return state, thetas, accepts, divs
 
 
 class CheesResult(NamedTuple):
@@ -185,6 +188,7 @@ class CheesResult(NamedTuple):
     trajectory_length: jnp.ndarray
     n_leapfrog: int
     warm: WarmupResult
+    diverging: jnp.ndarray = np.zeros((0, 0), dtype=bool)  # (chains, draws)
 
 
 @partial(jax.jit, static_argnames=("potential_fn",))
@@ -196,7 +200,7 @@ def _t_adapt_iteration(potential_fn, state, eps, n_steps, cov, chol, adam, key, 
     vag = jax.value_and_grad(potential_fn)
     keys = jax.random.split(key, nchains)
 
-    new_state, accept, theta_prop, p_prop = jax.vmap(
+    new_state, accept, _, theta_prop, p_prop = jax.vmap(
         lambda s, k: _hmc_step(vag, s, eps, n_steps, cov[0], chol[0], k)
     )(state, keys)
 
@@ -292,7 +296,7 @@ def run_chees_from_warmup(
     if verbose:
         print(f"[chees] T={t_final:.4g} eps={float(eps):.4g} -> ~{n_steps_mean} leapfrogs/draw (jittered)")
 
-    thetas_chunks, accept_chunks = [], []
+    thetas_chunks, accept_chunks, div_chunks = [], [], []
     done = 0
     it = num_adapt
     # per-execution budget in leapfrog·chains: remote-TPU executions are
@@ -305,20 +309,23 @@ def run_chees_from_warmup(
         n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)
         steps_arr = jnp.asarray([jitter_steps(it + i) for i in range(n)], jnp.int32)
-        state, thetas, accepts = _chees_sample_chunk(
+        state, thetas, accepts, divs = _chees_sample_chunk(
             potential_fn, state, eps, steps_arr, cov, chol, k, n
         )
         thetas_chunks.append(thetas)
         accept_chunks.append(accepts)
+        div_chunks.append(divs)
         done += n
         it += n
 
     if thetas_chunks:
         thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
         accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+        divs = jnp.swapaxes(jnp.concatenate(div_chunks, axis=0), 0, 1)
     else:  # num_samples=0: adapt-only call (e.g. to measure T)
         thetas = jnp.zeros((nchains, 0, dim), dtype)
         accepts = jnp.zeros((nchains, 0), dtype)
+        divs = jnp.zeros((nchains, 0), bool)
     out_warm = WarmupResult(
         state=state,
         eps=jnp.full((nchains,), eps, dtype),
@@ -332,6 +339,7 @@ def run_chees_from_warmup(
         trajectory_length=jnp.asarray(t_final),
         n_leapfrog=n_steps_mean,
         warm=out_warm,
+        diverging=divs,
     )
 
 
@@ -405,7 +413,7 @@ def run_chees(
     if verbose:
         print(f"[chees] adapted eps={float(eps):.4g} T={t_final:.4g} -> ~{n_steps} leapfrogs/draw (jittered)")
 
-    thetas_chunks, accept_chunks = [], []
+    thetas_chunks, accept_chunks, div_chunks = [], [], []
     done = 0
     # per-execution budget in leapfrog·chains (remote-TPU executions are
     # deadline-limited; see nuts._CHUNK rationale and run_chees_from_warmup)
@@ -414,16 +422,18 @@ def run_chees(
         n = min(iters_per_chunk, num_samples - done)
         key, k = jax.random.split(key)
         steps_arr = jnp.asarray([jitter_steps(it + i) for i in range(n)], jnp.int32)
-        state, thetas, accepts = _chees_sample_chunk(
+        state, thetas, accepts, divs = _chees_sample_chunk(
             potential_fn, state, eps, steps_arr, cov, chol, k, n
         )
         thetas_chunks.append(thetas)
         accept_chunks.append(accepts)
+        div_chunks.append(divs)
         done += n
         it += n
 
     thetas = jnp.swapaxes(jnp.concatenate(thetas_chunks, axis=0), 0, 1)
     accepts = jnp.swapaxes(jnp.concatenate(accept_chunks, axis=0), 0, 1)
+    divs = jnp.swapaxes(jnp.concatenate(div_chunks, axis=0), 0, 1)
     warm = WarmupResult(state=state, eps=jnp.full((nchains,), eps, dtype), cov=cov, chol_cov=chol)
     return CheesResult(
         thetas=thetas,
@@ -432,4 +442,5 @@ def run_chees(
         trajectory_length=jnp.asarray(t_final),
         n_leapfrog=n_steps,
         warm=warm,
+        diverging=divs,
     )

@@ -105,6 +105,7 @@ def _fit_chees(spec, potential, k_init, k_run, num_warmup, num_samples, num_chai
     posterior = {name: np.asarray(v) for name, v in constrain(spec, res.thetas).items()}
     sample_stats = {
         "accept_prob": np.asarray(res.accept),
+        "diverging": np.asarray(res.diverging),
         "n_leapfrog": np.full_like(np.asarray(res.accept), res.n_leapfrog),
     }
     if deterministics_fn is not None:
@@ -248,6 +249,7 @@ def fit(
         acc = np.asarray(res.accept)
         sample_stats = {
             "accept_prob": acc,
+            "diverging": np.asarray(res.diverging),
             "n_leapfrog": np.full_like(acc, res.n_leapfrog),
         }
     else:

@@ -16,9 +16,9 @@ from bumpcosmology_tpu.mock import add_observation_noise, draw_injection_campaig
 
 @pytest.mark.slow
 def test_sbc_harness_smoke():
-    inj = draw_injection_campaign(ndraw=30_000, seed=5, snr_chunk=8192)
+    inj = draw_injection_campaign(ndraw=60_000, seed=5, snr_chunk=8192)
     obs = add_observation_noise(inj, seed=6, threshold=20.0)
-    assert len(obs) > 20
+    assert len(obs) > 20  # 60k draws yield ~37 at threshold 20 (P1200087-pinned PSDs)
 
     simulate = make_mock_pop_simulator(
         obs, n_total_injections=len(inj), nobs=6, nsamp=32, nsel=128,

@@ -289,6 +289,9 @@ def test_fit_with_hybrid_nuts_chees_sampler():
     assert abs(x.mean()) < 0.2 and abs(x.std() - 1.0) < 0.2
     assert 0.4 < res.sample_stats["accept_prob"].mean() <= 1.0
     assert "n_leapfrog" in res.sample_stats
+    # fixed-length HMC reports energy-error divergences like NUTS does
+    assert res.sample_stats["diverging"].shape == (4, 300)
+    assert res.sample_stats["diverging"].sum() == 0
     # the hybrid's final state reuses the NUTS mass matrix (shared kernel)
     assert res.final_state.cov.shape == res.warmup_state.cov.shape
 
