@@ -47,6 +47,7 @@ def test_sbc_harness_smoke():
     assert all(0.0 <= p <= 1.0 for p in pvals.values())
 
 
+@pytest.mark.slow
 def test_pop_cosmo_simulator_produces_valid_data():
     """Joint-model simulator: detector-frame data, finite weights, correct shapes."""
     from bumpcosmology_tpu.inference.model import constrain, prior_sample

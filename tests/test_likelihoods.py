@@ -4,6 +4,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import scipy.stats as ss
 
 from bumpcosmology_tpu.inference.distributions import Normal, TruncatedNormal, Uniform
@@ -214,6 +215,7 @@ def test_prior_site_count_parity():
     assert len(POP_COSMO_PRIORS) == 15
 
 
+@pytest.mark.slow
 def test_fused_detector_table_matches_per_lookup_path():
     """pop_cosmo_loglike with dl_bounds (fused log-dL-keyed table) agrees with
     the per-lookup formulation at interp-discretization tolerance, for value

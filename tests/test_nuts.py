@@ -84,6 +84,7 @@ def test_badly_scaled_gaussian():
     assert abs(x[..., 1].std() - 10.0) < 3.0
 
 
+@pytest.mark.slow
 def test_prior_only_model_recovers_truncnorm():
     """Transforms + Jacobians end-to-end: sampling a prior-only ModelSpec must
     reproduce the prior (the NUTS-side analogue of numpyro's biject_to)."""

@@ -88,6 +88,7 @@ def test_pallas_logwts_out_of_support_is_neg_inf():
     np.testing.assert_allclose(got[1:], ref[1:], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_logwts_grad_matches_xla():
     """Cotangents agree through tables + scalars back to the raw params."""
     a, q, dl, log_pdraw = _queries(
