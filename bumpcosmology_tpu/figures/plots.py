@@ -330,6 +330,92 @@ def model_compare_fig(compare_path, out="figures/model_compare.pdf"):
     return _finish(out)
 
 
+def prior_sens_fig(sens_path, out="figures/prior_sensitivity.pdf"):
+    """Heatmap of posterior-mean shifts (in posterior sds) under the prior
+    perturbation battery, one panel per saved trace, from the ``prior_sens``
+    stage's artifact.  Cells with reweighting ESS fraction < 0.05 are hatched
+    (the importance estimate there is unreliable)."""
+    import h5py
+
+    with h5py.File(sens_path, "r") as f:
+        models = list(f.keys())
+        data = {}
+        for m in models:
+            g = f[m]
+            data[m] = (
+                [p.decode() for p in g["perturbation"][:]],
+                [s.decode() for s in g["site"][:]],
+                np.asarray(g["shift_sd"]),
+                np.asarray(g["ess_frac"]),
+            )
+
+    fig, axes = plt.subplots(
+        len(models), 1,
+        figsize=(7.5, 0.22 * sum(len(d[0]) for d in data.values()) + 1.6 * len(models)),
+        squeeze=False,
+    )
+    for ax, m in zip(axes[:, 0], models):
+        perts, sites, shift, ess = data[m]
+        vmax = max(0.5, np.nanmax(np.abs(shift)))
+        im = ax.imshow(shift, cmap="RdBu_r", vmin=-vmax, vmax=vmax, aspect="auto")
+        for i, e in enumerate(ess):
+            if e < 0.05:
+                ax.axhspan(i - 0.5, i + 0.5, color="none", hatch="///", ec="0.6", lw=0)
+        ax.set_yticks(range(len(perts)))
+        ax.set_yticklabels(perts, fontsize=6)
+        ax.set_xticks(range(len(sites)))
+        ax.set_xticklabels(sites, fontsize=6, rotation=90)
+        ax.set_title(f"{m}: posterior-mean shift [posterior sds]", fontsize=9)
+        fig.colorbar(im, ax=ax, fraction=0.025)
+    return _finish(out)
+
+
+def ppc_fig(ppc_path, out="figures/ppc.pdf"):
+    """Posterior-predictive CDF bands per observable and model, from the
+    ``ppc`` pipeline stage's artifact: predicted detected-population CDF
+    (68% band across posterior draws) vs the observed catalog's ECDF band,
+    with the replication-calibrated KS p-value in each panel title."""
+    import h5py
+
+    with h5py.File(ppc_path, "r") as f:
+        models = [k for k in f.keys()]
+        panels = {}
+        for m in models:
+            for col in f[m]:
+                g = f[m][col]
+                panels[(m, col)] = (
+                    np.asarray(g["grid"]), np.asarray(g["pred_cdf_q"]),
+                    np.asarray(g["obs_cdf_q"]), float(g.attrs["p_value"]),
+                    str(g.attrs["label"]),
+                )
+
+    cols = sorted({c for (_, c) in panels})
+    nrow, ncol = len(models), len(cols)
+    fig, axes = plt.subplots(
+        nrow, ncol, figsize=(3.1 * ncol, 2.6 * nrow), squeeze=False
+    )
+    for i, m in enumerate(models):
+        for j, col in enumerate(cols):
+            ax = axes[i][j]
+            if (m, col) not in panels:
+                ax.axis("off")
+                continue
+            grid, pq, oq, p, label = panels[(m, col)]
+            ax.fill_between(grid, pq[0], pq[2], color="C0", alpha=0.3,
+                            label="predicted (68%)")
+            ax.plot(grid, pq[1], color="C0", lw=1.0)
+            ax.fill_between(grid, oq[0], oq[2], color="C3", alpha=0.25,
+                            label="observed (68%)")
+            ax.plot(grid, oq[1], color="C3", lw=1.0, ls="--")
+            ax.set_title(f"{m}: {label}  (p = {p:.2f})", fontsize=8)
+            ax.set_ylim(0, 1)
+            if j == 0:
+                ax.set_ylabel("CDF (detected)")
+            if i == 0 and j == 0:
+                ax.legend(fontsize=6, loc="lower right")
+    return _finish(out)
+
+
 FIGURES = {
     "dNdm_fitted": (dndm_fitted, "trace.h5"),
     "cosmo_params_corner": (cosmo_params_corner, "trace_cosmo.h5"),
@@ -347,6 +433,8 @@ EXTRA_FIGURES = {
     "sbc_ranks": (sbc_ranks_hist, "sbc_ranks.h5"),
     "event_influence": (event_influence, "influence.h5"),
     "model_compare": (model_compare_fig, "model_compare.h5"),
+    "ppc": (ppc_fig, "ppc.h5"),
+    "prior_sensitivity": (prior_sens_fig, "prior_sensitivity.h5"),
 }
 
 

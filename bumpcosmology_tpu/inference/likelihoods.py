@@ -83,6 +83,15 @@ __all__ = [
     "POP_COSMO_PRIORS",
     "pop_model_spec",
     "pop_cosmo_model_spec",
+    "plpeak_from_sites",
+    "plpeak_loglike",
+    "plpeak_cosmo_loglike",
+    "plpeak_deterministics",
+    "plpeak_cosmo_deterministics",
+    "PLPEAK_PRIORS",
+    "PLPEAK_COSMO_PRIORS",
+    "plpeak_model_spec",
+    "plpeak_cosmo_model_spec",
 ]
 
 
@@ -262,8 +271,9 @@ def _selection_neff_terms(log_sel_wts: jnp.ndarray, log_ndraw: jnp.ndarray):
     return log_mu, neff_sel
 
 
-def _pop_event_sel_logwts(sites, data: PopData, n_grid: int):
-    pop = build_population(population_from_sites(sites), n_grid)
+def _pop_event_sel_logwts(sites, data: PopData, n_grid: int, build=None):
+    build = build or (lambda s, n: build_population(population_from_sites(s), n))
+    pop = build(sites, n_grid)
     ev, sel = data.events, data.selection
     log_wts = (
         log_dndmdqdv(pop, ev.a, ev.q, ev.c)
@@ -278,11 +288,17 @@ def _pop_event_sel_logwts(sites, data: PopData, n_grid: int):
     return pop, log_wts, log_sel_wts
 
 
-def pop_loglike(sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID):
-    """Population-only log-likelihood (``pop_model``, ``intensity_models.py:313-340``)."""
+def pop_loglike(
+    sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID, build=None
+):
+    """Population-only log-likelihood (``pop_model``, ``intensity_models.py:313-340``).
+
+    ``build`` (sites, n_grid) → intensity selects the mass-model family;
+    ``None`` = the PISN-bump family.
+    """
     ev = data.events
     nobs, nsamp = ev.a.shape
-    _, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid)
+    _, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid, build)
     log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
     log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
     return jnp.sum(log_like) - nobs * log_mu_sel
@@ -329,7 +345,11 @@ def _cosmo_frame_logwts_fused(pop, det, a, q, dl, log_pdraw):
     ``set_logwts_impl("pallas")`` the whole chain instead runs inside one
     Pallas kernel (value+VJP parity pinned by ``tests/test_pallas_logwts.py``).
     """
-    if _LOGWTS_IMPL_OVERRIDE == "pallas":
+    from bumpcosmology_tpu.models.population import PopulationIntensity
+
+    if _LOGWTS_IMPL_OVERRIDE == "pallas" and isinstance(pop, PopulationIntensity):
+        # The fused kernel hard-codes the bump family's table layout; other
+        # intensity families always take the XLA path.
         from bumpcosmology_tpu.ops.pallas_logwts import cosmo_frame_logwts_pallas
 
         return cosmo_frame_logwts_pallas(pop, det, a, q, dl, log_pdraw)
@@ -349,9 +369,10 @@ def dl_bounds_of(data: PopCosmoData, margin: float = 0.05):
 
 
 def _pop_cosmo_event_sel_logwts(
-    sites, data: PopCosmoData, n_grid: int, n_z: int, dl_bounds=None
+    sites, data: PopCosmoData, n_grid: int, n_z: int, dl_bounds=None, build=None
 ):
-    pop = build_population(population_from_sites(sites), n_grid)
+    build = build or (lambda s, n: build_population(population_from_sites(s), n))
+    pop = build(sites, n_grid)
     cosmo = build_cosmology(cosmo_from_sites(sites), n=n_z)
     ev, sel = data.events, data.selection
     if dl_bounds is not None:
@@ -372,6 +393,7 @@ def pop_cosmo_loglike(
     n_grid: int = DEFAULT_N_GRID,
     n_z: int = 1024,
     dl_bounds=None,
+    build=None,
 ):
     """Joint population+cosmology log-likelihood (``pop_cosmo_model``,
     ``intensity_models.py:357-390``).
@@ -379,11 +401,12 @@ def pop_cosmo_loglike(
     With ``dl_bounds`` (static floats) the cosmology lookups route through
     the fused detector-frame table — numerically equivalent (same linear
     interpolation resolution, re-keyed grid) and ~2x faster on TPU.
+    ``build`` selects the mass-model family (``None`` = PISN bump).
     """
     ev = data.events
     nobs, nsamp = ev.a.shape
     _, _, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(
-        sites, data, n_grid, n_z, dl_bounds
+        sites, data, n_grid, n_z, dl_bounds, build
     )
     log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
     log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
@@ -406,9 +429,7 @@ def _shared_deterministics(sites, pop, log_wts, log_sel_wts, log_ndraw, nobs):
     q_grid = jnp.asarray(COORDS["q_grid"], dtype=log_wts.dtype)
     z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
     out = {
-        "mbhmax": pop.params.mass.mbhmax,
         "kappa": pop.params.redshift.kappa,
-        "fpl": pop.params.mass.fpl,
         "neff_sel": neff_sel,
         # MC noise of the -nobs log mu_sel term in nats: above ~1 the
         # selection integral's smooth parameter-dependent noise carves
@@ -417,18 +438,29 @@ def _shared_deterministics(sites, pop, log_wts, log_sel_wts, log_ndraw, nobs):
         "selection_noise_nats": nobs / jnp.sqrt(neff_sel),
         "neff": neff,
         "R": R,
-        "mdNdmdVdt_fixed_qz": m_grid * R * jnp.exp(log_dndmdqdv(pop, m_grid, QREF, ZREF)),
-        "dNdqdVdt_fixed_mz": MREF * R * jnp.exp(log_dndmdqdv(pop, MREF, q_grid, ZREF)),
-        "dNdVdt_fixed_mq": MREF * R * jnp.exp(log_dndmdqdv(pop, MREF, QREF, z_grid)),
+        # exp clamped at 80 nats: prior-extreme draws of q-normalized
+        # families (e.g. PLPeak with beta_q ~ 6, m1 just above mmin) have
+        # genuinely huge conditional densities that overflow float32; the
+        # clamp (e^80 ~ 5e34) only touches such figure-irrelevant corners.
+        "mdNdmdVdt_fixed_qz": m_grid * R * jnp.exp(jnp.minimum(log_dndmdqdv(pop, m_grid, QREF, ZREF), 80.0)),
+        "dNdqdVdt_fixed_mz": MREF * R * jnp.exp(jnp.minimum(log_dndmdqdv(pop, MREF, q_grid, ZREF), 80.0)),
+        "dNdVdt_fixed_mq": MREF * R * jnp.exp(jnp.minimum(log_dndmdqdv(pop, MREF, QREF, z_grid), 80.0)),
     }
     return out
+
+
+def _bump_extras(pop):
+    """Bump-family reparameterized deterministics (``intensity_models.py:288,294``)."""
+    return {"mbhmax": pop.params.mass.mbhmax, "fpl": pop.params.mass.fpl}
 
 
 def pop_deterministics(sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID):
     """All deterministic trace sites of ``pop_model`` (``intensity_models.py:342-355``)."""
     nobs = data.events.a.shape[0]
     pop, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid)
-    return _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+    out = _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+    out.update(_bump_extras(pop))
+    return out
 
 
 def pop_cosmo_deterministics(
@@ -437,6 +469,79 @@ def pop_cosmo_deterministics(
     """All deterministic trace sites of ``pop_cosmo_model`` (``intensity_models.py:392-406``)."""
     nobs = data.events.a.shape[0]
     pop, cosmo, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(sites, data, n_grid, n_z)
+    out = _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+    out.update(_bump_extras(pop))
+    z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
+    out["hz"] = cosmo.params.h * efunc(z_grid, cosmo.params)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# POWER-LAW+PEAK family (models/plpeak.py) — same likelihood skeleton, second
+# mass-model family.  No reference counterpart (the reference fits only its
+# physical bump model); priors follow the GWTC-3 fiducial analysis ranges.
+# ---------------------------------------------------------------------------
+
+
+def plpeak_from_sites(sites: Dict[str, jnp.ndarray]):
+    """Site dict → :class:`~bumpcosmology_tpu.models.plpeak.PLPeakPopulationParams`.
+
+    All mass sites are direct (no reparameterizations); the redshift block
+    shares the bump family's ``kappa = lam + dkappa`` reparam so the two
+    families' rate-evolution posteriors are directly comparable.
+    """
+    from bumpcosmology_tpu.models.plpeak import PLPeakMassParams, PLPeakPopulationParams
+
+    mass = PLPeakMassParams(
+        alpha=sites["alpha"],
+        beta_q=sites["beta_q"],
+        mmin=sites["mmin"],
+        mmax=sites["mmax"],
+        lam_peak=sites["lam_peak"],
+        mu_m=sites["mu_m"],
+        sigma_m=sites["sigma_m"],
+        delta_m=sites["delta_m"],
+    )
+    redshift = RedshiftParams(
+        lam=sites["lam"], kappa=sites["lam"] + sites["dkappa"], zp=sites["zp"]
+    )
+    return PLPeakPopulationParams(mass=mass, redshift=redshift)
+
+
+def _build_plpeak(sites, n_grid):
+    from bumpcosmology_tpu.models.plpeak import build_plpeak_population
+
+    return build_plpeak_population(plpeak_from_sites(sites), n_m=n_grid)
+
+
+def plpeak_loglike(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """Population-only log-likelihood under the POWER-LAW+PEAK family."""
+    return pop_loglike(sites, data, n_grid, build=_build_plpeak)
+
+
+def plpeak_cosmo_loglike(
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, dl_bounds=None
+):
+    """Joint population+cosmology log-likelihood under POWER-LAW+PEAK."""
+    return pop_cosmo_loglike(sites, data, n_grid, n_z, dl_bounds, build=_build_plpeak)
+
+
+def plpeak_deterministics(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """Deterministic trace sites for the PLPeak population-only fit — the
+    generic set (kappa, neff, neff_sel, selection noise, R, rate curves)."""
+    nobs = data.events.a.shape[0]
+    pop, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid, _build_plpeak)
+    return _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+
+
+def plpeak_cosmo_deterministics(
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+):
+    """Deterministic trace sites for the PLPeak joint fit (generic set + hz)."""
+    nobs = data.events.a.shape[0]
+    pop, cosmo, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(
+        sites, data, n_grid, n_z, build=_build_plpeak
+    )
     out = _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
     z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
     out["hz"] = cosmo.params.h * efunc(z_grid, cosmo.params)
@@ -475,6 +580,24 @@ _RATE_PRIORS = {"R_unit": Normal(0.0, 1.0)}
 POP_PRIORS = {**_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
 POP_COSMO_PRIORS = {**_COSMO_PRIORS, **_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
 
+# POWER-LAW+PEAK hyperpriors: the GWTC-3 fiducial analysis ranges (LVK
+# population paper, Table VI of the appendix-B model definitions).
+_PLPEAK_MASS_PRIORS = {
+    "alpha": Uniform(-4.0, 12.0),
+    "beta_q": Uniform(-4.0, 12.0),
+    "mmin": Uniform(2.0, 10.0),
+    "mmax": Uniform(30.0, 100.0),
+    "lam_peak": Uniform(0.0, 1.0),
+    "mu_m": Uniform(20.0, 50.0),
+    "sigma_m": Uniform(1.0, 10.0),
+    "delta_m": Uniform(0.0, 10.0),
+}
+
+PLPEAK_PRIORS = {**_PLPEAK_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
+PLPEAK_COSMO_PRIORS = {
+    **_COSMO_PRIORS, **_PLPEAK_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS
+}
+
 
 def pop_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
     """The population-only model as a :class:`ModelSpec` (12 sites)."""
@@ -494,4 +617,23 @@ def pop_cosmo_model_spec(data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: 
     return ModelSpec(
         priors=dict(POP_COSMO_PRIORS),
         loglike=lambda sites: pop_cosmo_loglike(sites, data, n_grid, n_z, bounds),
+    )
+
+
+def plpeak_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
+    """The POWER-LAW+PEAK population-only model as a :class:`ModelSpec` (12 sites)."""
+    return ModelSpec(
+        priors=dict(PLPEAK_PRIORS),
+        loglike=lambda sites: plpeak_loglike(sites, data, n_grid),
+    )
+
+
+def plpeak_cosmo_model_spec(
+    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+) -> ModelSpec:
+    """The joint POWER-LAW+PEAK + flat-wCDM model as a :class:`ModelSpec` (15 sites)."""
+    bounds = dl_bounds_of(data)
+    return ModelSpec(
+        priors=dict(PLPEAK_COSMO_PRIORS),
+        loglike=lambda sites: plpeak_cosmo_loglike(sites, data, n_grid, n_z, bounds),
     )

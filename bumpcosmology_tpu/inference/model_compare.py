@@ -61,13 +61,15 @@ __all__ = [
 
 
 def pop_pointwise_loglike(
-    sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID
+    sites: Dict[str, jnp.ndarray], data: PopData, n_grid: int = DEFAULT_N_GRID, build=None
 ) -> jnp.ndarray:
     """(nobs,) per-event ℓ_i(θ) for the population-only model; sums to
-    :func:`~bumpcosmology_tpu.inference.likelihoods.pop_loglike`."""
+    :func:`~bumpcosmology_tpu.inference.likelihoods.pop_loglike`.  ``build``
+    selects the mass-model family (``None`` = PISN bump), so the same
+    decomposition serves ``pipeline compare`` across families."""
     ev = data.events
     _, nsamp = ev.a.shape
-    _, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid)
+    _, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid, build)
     log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
     log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
     return log_like - log_mu_sel
@@ -79,13 +81,14 @@ def pop_cosmo_pointwise_loglike(
     n_grid: int = DEFAULT_N_GRID,
     n_z: int = 1024,
     dl_bounds=None,
+    build=None,
 ) -> jnp.ndarray:
     """(nobs,) per-event ℓ_i(θ) for the joint model; sums to
     :func:`~bumpcosmology_tpu.inference.likelihoods.pop_cosmo_loglike`."""
     ev = data.events
     _, nsamp = ev.a.shape
     _, _, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(
-        sites, data, n_grid, n_z, dl_bounds
+        sites, data, n_grid, n_z, dl_bounds, build
     )
     log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
     log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw

@@ -1,0 +1,252 @@
+"""POWER-LAW + PEAK black-hole mass model — the second mass-model family (L1).
+
+The GWTC-3 fiducial phenomenological population model (LVK, "The population
+of merging compact binaries inferred using gravitational waves through
+GWTC-3", §B.2): the primary-mass density is a truncated power law plus a
+Gaussian peak, both multiplied by a Planck-taper turn-on at ``mmin``; the
+pairing function is a power law in mass ratio with the same taper on the
+secondary mass, normalized over q per primary mass,
+
+    p(m1)      ∝ [ (1-λ)·PL(m1 | -α, mmin, mmax) + λ·N(m1 | μ_m, σ_m) ] · S(m1)
+    p(q | m1)  ∝ q^{β_q} · S(q·m1) / N_q(m1),   N_q(m1) = ∫ dq q^{β_q} S(q·m1)
+
+with S the Planck taper rising 0→1 on (mmin, mmin+δ_m).  The joint intensity
+follows the framework's pivot convention (shared with the PISN-bump family,
+``models/mass.py``): m·dN/dm1 dq dV dt = 1 at (MREF, QREF, ZREF), so the rate
+``R`` recorded in traces means the same thing for both families and
+``pipeline compare`` is apples-to-apples.
+
+This family exists in the reference only implicitly — its paper fits the
+physical bump model *against* the phenomenological standard — and is the
+natural "second model" a reference user reaches for.  There is no reference
+code for it; the implementation is original.
+
+TPU-first design notes
+----------------------
+* Everything is analytic except the q-pairing normalization N_q(m1), which is
+  tabulated once per hyperparameter draw on a **static-shape** (n_m × n_q)
+  grid (parameter-dependent *values*, fixed *coordinates*) — the same
+  static-shape discipline as the bump grid, but 2× smaller and elementwise
+  (no Gaussian kernel fill), so a draw's table build costs less than one
+  bump build.
+* The primary-mass density itself needs NO table: per-sample evaluation is
+  pure elementwise math that XLA fuses straight into the log-weight chain —
+  this family is the cheap one on TPU.
+* The truncated-power-law normalization uses the ``expm1(x)/x`` form, exact
+  and gradient-stable through the α → 1 singularity in float32.
+* The Planck taper is evaluated with the double-``where`` guard so reverse-mode
+  gradients stay NaN-free at the branch edges (a JAX ``where``-grad hazard).
+"""
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from bumpcosmology_tpu.models.mass import MREF
+from bumpcosmology_tpu.models.parameters import RedshiftParams
+from bumpcosmology_tpu.models.redshift import ZREF, log_dndv
+from bumpcosmology_tpu.ops.integrate import log_trapz
+from bumpcosmology_tpu.ops.interp import interp_unit_spaced
+
+__all__ = [
+    "PLPeakMassParams",
+    "PLPeakPopulationParams",
+    "PLPeakIntensity",
+    "DEFAULT_PLPEAK_MASS",
+    "DEFAULT_PLPEAK_POPULATION",
+    "log_planck_taper",
+    "log_pm1_plpeak",
+    "build_plpeak_population",
+]
+
+# Static q-normalization table coordinates.  The m1 axis must cover every
+# queried primary mass for any prior draw: mmin's prior support starts at 2,
+# and log N_q varies only through the S(q·m1) cut at q ≈ mmin/m1, so constant
+# extrapolation above M_TAB_HI is accurate to < 1e-3 nats.
+M_TAB_LO = 2.0
+M_TAB_HI = 200.0
+Q_TAB_LO = 1e-3  # q-quadrature lower edge (log-spaced; S cuts q < mmin/m1 anyway)
+DEFAULT_N_M = 256
+DEFAULT_N_Q = 128
+QREF = 1.0  # pivot mass ratio, shared with the bump family (models/population.py)
+
+
+class PLPeakMassParams(NamedTuple):
+    """POWER-LAW+PEAK hyperparameters (GWTC-3 table notation).
+
+    alpha   : primary-mass power-law slope, p(m1) ∝ m1^{-alpha}
+    beta_q  : mass-ratio pairing power, p(q|m1) ∝ q^{beta_q}
+    mmin    : minimum BH mass (taper onset) [Msun]
+    mmax    : power-law truncation mass [Msun]
+    lam_peak: mixture fraction in the Gaussian peak
+    mu_m    : peak location [Msun]
+    sigma_m : peak width [Msun]
+    delta_m : taper width [Msun]
+    """
+
+    alpha: jnp.ndarray
+    beta_q: jnp.ndarray
+    mmin: jnp.ndarray
+    mmax: jnp.ndarray
+    lam_peak: jnp.ndarray
+    mu_m: jnp.ndarray
+    sigma_m: jnp.ndarray
+    delta_m: jnp.ndarray
+
+
+class PLPeakPopulationParams(NamedTuple):
+    """Full hyperparameter set: PLPeak mass family × Madau-Dickinson redshift."""
+
+    mass: PLPeakMassParams
+    redshift: RedshiftParams
+
+
+# GWTC-3 median-ish fiducial values (for mocks/tests; the LVK result has
+# alpha≈3.5, beta≈1.1, mmin≈5, mmax≈87, lambda≈0.04, mu≈34, sigma≈3.6, dm≈4.9).
+DEFAULT_PLPEAK_MASS = PLPeakMassParams(
+    alpha=3.5, beta_q=1.1, mmin=5.0, mmax=87.0, lam_peak=0.04,
+    mu_m=34.0, sigma_m=3.6, delta_m=4.9,
+)
+DEFAULT_PLPEAK_POPULATION = PLPeakPopulationParams(
+    mass=DEFAULT_PLPEAK_MASS,
+    redshift=RedshiftParams(lam=4.7, kappa=7.0, zp=3.0),
+)
+
+
+def log_planck_taper(m, mmin, delta_m):
+    """log S(m): the Planck-taper turn-on, 0 below ``mmin``, 1 above
+    ``mmin + delta_m``, S = 1/(e^f + 1) with f = δ/x + δ/(x-δ), x = m-mmin,
+    in between.
+
+    Gradient-safe at the branch edges: the interior expression is evaluated
+    at a clamped-to-midpoint x wherever the branch is not taken, so the
+    unused branch never produces inf·0 NaNs in reverse mode.  At δ_m = 0 the
+    taper degenerates to a step at ``mmin`` (S = 1 for m > mmin).
+    """
+    m = jnp.asarray(m)
+    x = m - mmin
+    inside = (x > 0.0) & (x < delta_m)
+    dm_safe = jnp.maximum(delta_m, 1e-6)
+    x_safe = jnp.where(inside, x, 0.5 * dm_safe)
+    f = delta_m / x_safe + delta_m / (x_safe - dm_safe)
+    f = jnp.clip(f, -80.0, 80.0)
+    mid = -jax.nn.softplus(f)
+    return jnp.where(x <= 0.0, -jnp.inf, jnp.where(x >= delta_m, 0.0, mid))
+
+
+def _log_pl_norm_inv(alpha, mmin, mmax):
+    """log ∫_mmin^mmax m^{-α} dm, stable through α = 1.
+
+    With t = 1-α and L = log(mmax/mmin):  ∫ = mmin^t · L · expm1(tL)/(tL),
+    and expm1(x)/x → 1 smoothly as x → 0 (no cancellation, unlike the naive
+    (mmax^t − mmin^t)/t form).
+    """
+    t = 1.0 - alpha
+    L = jnp.log(mmax / mmin)
+    x = t * L
+    x_safe = jnp.where(jnp.abs(x) < 1e-12, 1.0, x)
+    ratio = jnp.where(jnp.abs(x) < 1e-12, 1.0 + 0.5 * x, jnp.expm1(x_safe) / x_safe)
+    return t * jnp.log(mmin) + jnp.log(L) + jnp.log(ratio)
+
+
+def log_pm1_plpeak(p: PLPeakMassParams, m1):
+    """log of the (un-tapered-normalized) primary-mass density:
+    mixture of the truncated power law and the Gaussian peak, times the
+    Planck taper.  Each mixture component is individually normalized (the
+    GWTC-3 convention, so ``lam_peak`` is a real mixture weight); the taper
+    and the overall pivot normalization are applied on top.
+    """
+    m1 = jnp.asarray(m1)
+    log_pl = (
+        jnp.log1p(-p.lam_peak)
+        - p.alpha * jnp.log(m1)
+        - _log_pl_norm_inv(p.alpha, p.mmin, p.mmax)
+    )
+    log_pl = jnp.where(m1 > p.mmax, -jnp.inf, log_pl)
+    log_peak = (
+        jnp.log(p.lam_peak)
+        - 0.5 * jnp.square((m1 - p.mu_m) / p.sigma_m)
+        - jnp.log(p.sigma_m)
+        - 0.5 * math.log(2.0 * math.pi)
+    )
+    out = jnp.logaddexp(log_pl, log_peak) + log_planck_taper(m1, p.mmin, p.delta_m)
+    return jnp.where((m1 <= p.mmin) | (m1 >= M_TAB_HI), -jnp.inf, out)
+
+
+class PLPeakIntensity(NamedTuple):
+    """Per-draw PLPeak population state: params + q-normalization table.
+
+    A pytree (like :class:`~bumpcosmology_tpu.models.population.PopulationIntensity`);
+    the generic ``log_dndmdqdv`` dispatcher calls the method below, so every
+    likelihood, deterministic, and figure path that consumes an intensity
+    works unchanged with this family.
+    """
+
+    params: PLPeakPopulationParams
+    m_lo: jnp.ndarray  # q-norm table origin (static value M_TAB_LO, kept traced)
+    dm: jnp.ndarray  # q-norm table spacing
+    log_nq: jnp.ndarray  # (n_m,) log ∫ dq q^β S(q·m1) on the uniform m1 grid
+    log_norm: jnp.ndarray  # pivot normalization: m·dN/dm1dqdVdt = 1 at (MREF, QREF, ZREF)
+
+    def log_dndmdqdv(self, m1, q, z):
+        """log dN/dm1/dq/dV/dt at (m1, q, z) under the pivot convention."""
+        p = self.params
+        m1 = jnp.asarray(m1)
+        q = jnp.asarray(q)
+        z = jnp.asarray(z)
+        log_nq = interp_unit_spaced(m1, self.m_lo, self.dm, self.log_nq)
+        return (
+            log_pm1_plpeak(p.mass, m1)
+            + p.mass.beta_q * jnp.log(q)
+            + log_planck_taper(q * m1, p.mass.mmin, p.mass.delta_m)
+            - log_nq
+            + log_dndv(z, p.redshift)
+            + self.log_norm
+        )
+
+
+def _log_nq_grid(p: PLPeakMassParams, n_m: int, n_q: int):
+    """Tabulate log N_q(m1) = log ∫_0^1 dq q^β S(q·m1) on the uniform m1 grid.
+
+    The integrand is steep near the q ≈ mmin/m1 cut, so the quadrature runs
+    in log q (static log-spaced nodes, trapezoid in u = log q):
+    ∫ dq q^β S = ∫ du e^{(β+1)u} S(e^u·m1).  Contributions below
+    Q_TAB_LO are zero for every m1 in the table range (S cuts q < mmin/m1 and
+    mmin ≥ 2 ⇒ q_cut ≥ 2/200 > 1e-2 ≫ integration floor... the floor is
+    conservative at 1e-3).
+    """
+    dm = (M_TAB_HI - M_TAB_LO) / (n_m - 1)
+    m1 = M_TAB_LO + dm * jnp.arange(n_m)
+    u = jnp.linspace(math.log(Q_TAB_LO), 0.0, n_q)
+    log_integrand = (p.beta_q + 1.0) * u[None, :] + log_planck_taper(
+        jnp.exp(u)[None, :] * m1[:, None], p.mmin, p.delta_m
+    )
+    # Clamp the -inf integrand entries (S ≡ 0 below the taper) to a large
+    # finite floor BEFORE the log-trapezoid: an all--inf row (m1 ≤ mmin)
+    # would make logsumexp's softmax 0/0 → NaN gradients, and the
+    # matmul/tiled interp contraction downstream requires a finite table
+    # anyway.  e^-1e4 is exactly 0 in f32, and the m1 ≤ mmin rows are never
+    # reached (log_pm1 is already -inf there).
+    log_nq = log_trapz(jnp.maximum(log_integrand, -1e4), u[None, :], axis=1)
+    return dm, log_nq
+
+
+def build_plpeak_population(
+    params: PLPeakPopulationParams, n_m: int = DEFAULT_N_M, n_q: int = DEFAULT_N_Q
+) -> PLPeakIntensity:
+    """Build the per-draw PLPeak intensity (q-norm table + pivot normalization)."""
+    dm, log_nq = _log_nq_grid(params.mass, n_m, n_q)
+    intensity = PLPeakIntensity(
+        params=params,
+        m_lo=jnp.asarray(M_TAB_LO, dtype=log_nq.dtype),
+        dm=dm,
+        log_nq=log_nq,
+        log_norm=jnp.asarray(0.0, dtype=log_nq.dtype),
+    )
+    mref = jnp.asarray(MREF)
+    log_at_pivot = intensity.log_dndmdqdv(mref, jnp.asarray(QREF), jnp.asarray(ZREF))
+    log_norm = -(log_at_pivot + math.log(MREF))
+    return intensity._replace(log_norm=log_norm)

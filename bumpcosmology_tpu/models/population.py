@@ -43,13 +43,22 @@ def build_population(params: PopulationParams, n_grid: int = DEFAULT_N_GRID) -> 
     return PopulationIntensity(mass_table=build_mass_function(params.mass, n_grid), params=params)
 
 
-def log_dndmdqdv(pop: PopulationIntensity, m1, q, z):
+def log_dndmdqdv(pop, m1, q, z):
     """log dN/dm1/dq/dV/dt at (m1, q, z) (``intensity_models.py:202-210``).
 
-    The two mass-function evaluations (m1 and m2 = q·m1) are batched into a
-    single stacked table lookup — one interpolation contraction instead of
-    two on TPU.
+    Accepts any intensity family: the PISN-bump :class:`PopulationIntensity`
+    (handled inline below) or any other per-draw intensity pytree exposing a
+    ``log_dndmdqdv(m1, q, z)`` method (e.g.
+    :class:`~bumpcosmology_tpu.models.plpeak.PLPeakIntensity`) — dispatch
+    happens at trace time, so the jitted potential sees only the chosen
+    family's subgraph.
+
+    For the bump family, the two mass-function evaluations (m1 and
+    m2 = q·m1) are batched into a single stacked table lookup — one
+    interpolation contraction instead of two on TPU.
     """
+    if not isinstance(pop, PopulationIntensity):
+        return pop.log_dndmdqdv(m1, q, z)
     m1 = jnp.asarray(m1)
     q = jnp.asarray(q)
     z = jnp.asarray(z)

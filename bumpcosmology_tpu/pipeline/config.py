@@ -66,6 +66,11 @@ class FitConfig:
     n_z: int = 1024
     n_chain_shards: int = 1  # mesh rows for the chains axis
     shared_mass: bool = False  # pool mass-matrix adaptation across chains
+    # mass-model family: "bump" (the reference's physical PISN-bump model) or
+    # "plpeak" (the GWTC-3 fiducial POWER-LAW+PEAK, models/plpeak.py) —
+    # selects the spec/deterministics pair in the fit stages; traces record
+    # the family so `pipeline compare` can rank them on the same catalog
+    mass_family: str = "bump"
     # "nuts" (reference parity), "chees", or "nuts+chees" (NUTS warmup +
     # fixed-length jittered sampling — the ragged-tree-free TPU config)
     sampler: str = "nuts"
@@ -144,6 +149,16 @@ class CompareConfig:
 
 
 @dataclass
+class PpcConfig:
+    """Posterior predictive checks (``pipeline ppc``): observed catalog vs
+    injection-reweighted predicted detections, per observable, per trace."""
+
+    n_draws: int = 256  # posterior draws used for the check
+    batch: int = 32  # vmapped log-weight evals per device batch
+    seed: int = 271828
+
+
+@dataclass
 class PipelineConfig:
     paths: PathsConfig = field(default_factory=PathsConfig)
     ingest: IngestConfig = field(default_factory=IngestConfig)
@@ -152,6 +167,7 @@ class PipelineConfig:
     sbc: SBCConfig = field(default_factory=SBCConfig)
     loo: LooConfig = field(default_factory=LooConfig)
     compare: CompareConfig = field(default_factory=CompareConfig)
+    ppc: PpcConfig = field(default_factory=PpcConfig)
 
     @classmethod
     def load(cls, json_path: Optional[str] = None, overrides: Optional[list] = None):

@@ -138,6 +138,8 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
 
     from bumpcosmology_tpu.inference.likelihoods import (
         make_pop_data,
+        plpeak_deterministics,
+        plpeak_model_spec,
         pop_deterministics,
         pop_model_spec,
     )
@@ -155,7 +157,15 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(), sel["pdraw"].to_numpy(),
         ndraw=float(sel["ndraw"].iloc[0]),
     )
-    spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
+    family = cfg.fit.mass_family
+    if family == "plpeak":
+        spec = plpeak_model_spec(data, n_grid=cfg.fit.n_grid)
+        det_fn = lambda s: plpeak_deterministics(s, data, n_grid=cfg.fit.n_grid)  # noqa: E731
+    elif family == "bump":
+        spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
+        det_fn = lambda s: pop_deterministics(s, data, n_grid=cfg.fit.n_grid)  # noqa: E731
+    else:
+        raise ValueError(f"unknown mass_family {family!r} (expected 'bump' or 'plpeak')")
     nuts_cfg = NutsConfig(
         max_depth=cfg.fit.max_depth,
         target_accept=cfg.fit.target_accept,
@@ -169,10 +179,14 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         num_chains=cfg.fit.num_chains,
         cfg=nuts_cfg,
         sampler=cfg.fit.sampler,
-        deterministics_fn=lambda s: pop_deterministics(s, data, n_grid=cfg.fit.n_grid),
+        deterministics_fn=det_fn,
     )
-    trace = Trace(res.posterior, res.sample_stats, coords=COORDS, attrs={"model": "pop"})
-    save_trace(trace_out or cfg.paths.path("trace.h5"), trace)
+    trace = Trace(
+        res.posterior, res.sample_stats, coords=COORDS,
+        attrs={"model": "pop", "family": family},
+    )
+    default_out = "trace.h5" if family == "bump" else f"trace_{family}.h5"
+    save_trace(trace_out or cfg.paths.path(default_out), trace)
     return res
 
 
@@ -188,6 +202,8 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
     from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
     from bumpcosmology_tpu.inference.likelihoods import (
         make_pop_cosmo_data,
+        plpeak_cosmo_deterministics,
+        plpeak_cosmo_model_spec,
         pop_cosmo_deterministics,
         pop_cosmo_model_spec,
     )
@@ -213,7 +229,19 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         sel["pdraw_cosmo"].to_numpy(),
         ndraw=float(sel["ndraw"].iloc[0]),
     )
-    spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+    family = cfg.fit.mass_family
+    if family == "plpeak":
+        spec = plpeak_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+        det_fn = lambda s: plpeak_cosmo_deterministics(  # noqa: E731
+            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
+        )
+    elif family == "bump":
+        spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+        det_fn = lambda s: pop_cosmo_deterministics(  # noqa: E731
+            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
+        )
+    else:
+        raise ValueError(f"unknown mass_family {family!r} (expected 'bump' or 'plpeak')")
     nuts_cfg = NutsConfig(
         max_depth=cfg.fit.max_depth,
         target_accept=cfg.fit.target_accept,
@@ -227,12 +255,14 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         num_chains=cfg.fit.num_chains,
         cfg=nuts_cfg,
         sampler=cfg.fit.sampler,
-        deterministics_fn=lambda s: pop_cosmo_deterministics(
-            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
-        ),
+        deterministics_fn=det_fn,
     )
-    trace = Trace(res.posterior, res.sample_stats, coords=COORDS, attrs={"model": "pop_cosmo"})
-    save_trace(trace_out or cfg.paths.path("trace_cosmo.h5"), trace)
+    trace = Trace(
+        res.posterior, res.sample_stats, coords=COORDS,
+        attrs={"model": "pop_cosmo", "family": family},
+    )
+    default_out = "trace_cosmo.h5" if family == "bump" else f"trace_cosmo_{family}.h5"
+    save_trace(trace_out or cfg.paths.path(default_out), trace)
     return res
 
 
@@ -626,6 +656,40 @@ def _stage_compare(cfg: PipelineConfig):
     )
 
     matrices = {"pop": ll_pop, "pop_cosmo": ll_cosmo}
+
+    # Optional second-family traces on the same catalog (run_pop_fit /
+    # run_pop_cosmo_fit with mass_family="plpeak"): include them in the
+    # ranking when present, so the physical bump model is compared against
+    # the phenomenological GWTC-3 fiducial head-to-head.
+    from bumpcosmology_tpu.inference.likelihoods import (
+        PLPEAK_COSMO_PRIORS,
+        PLPEAK_PRIORS,
+        _build_plpeak,
+    )
+
+    for name, fname, fn, priors in (
+        (
+            "pop_plpeak",
+            "trace_plpeak.h5",
+            lambda s: pop_pointwise_loglike(s, pop_data, cfg.fit.n_grid, build=_build_plpeak),
+            PLPEAK_PRIORS,
+        ),
+        (
+            "pop_cosmo_plpeak",
+            "trace_cosmo_plpeak.h5",
+            lambda s: pop_cosmo_pointwise_loglike(
+                s, cosmo_data, cfg.fit.n_grid, cfg.fit.n_z, bounds, build=_build_plpeak
+            ),
+            PLPEAK_COSMO_PRIORS,
+        ),
+    ):
+        path = cfg.paths.path(fname)
+        if Path(path).exists():
+            post = load_trace(path).posterior
+            matrices[name] = pointwise_matrix(
+                fn, post, list(priors), max_draws=c.max_draws, batch=c.batch
+            )
+
     loos = {k: psis_loo(v) for k, v in matrices.items()}
     waics = {k: waic(v) for k, v in matrices.items()}
     table = compare(loos)
@@ -652,6 +716,180 @@ def _stage_compare(cfg: PipelineConfig):
                 n_draws=matrices[name].shape[0],
             )
     return table
+
+
+def _stage_ppc(cfg: PipelineConfig):
+    """Posterior predictive checks: observed catalog vs the injection-
+    reweighted detected population predicted by each saved trace →
+    ``ppc.h5`` (beyond parity: the reference never checks its fit against
+    the catalog it fitted).
+
+    Runs for every trace present — pop, pop_cosmo, and their PLPeak-family
+    variants — and reports a per-observable posterior-predictive p-value
+    (KS vs weighted predicted CDF, replication-calibrated;
+    ``inference/ppc.py``).
+    """
+    import h5py
+
+    from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
+    from bumpcosmology_tpu.inference.likelihoods import (
+        PLPEAK_COSMO_PRIORS,
+        PLPEAK_PRIORS,
+        POP_COSMO_PRIORS,
+        POP_PRIORS,
+        _build_plpeak,
+        make_pop_cosmo_data,
+        make_pop_data,
+    )
+    from bumpcosmology_tpu.inference.ppc import posterior_predictive_check
+    from bumpcosmology_tpu.utils.trace import load_trace
+
+    c = cfg.ppc
+    pe = read_table(cfg.paths.path("pe-samples.h5"))
+    sel = read_table(cfg.paths.path("selection-samples.h5"))
+
+    names, (m1s, qs, zs, wts) = group_events(pe)
+    pop_data = make_pop_data(
+        m1s, qs, zs, wts,
+        sel["m1"].to_numpy(), sel["q"].to_numpy(), sel["z"].to_numpy(),
+        sel["pdraw"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+    )
+    for df, wt_col in ((pe, "wt"), (sel, "pdraw")):
+        df["m1d"] = df["m1"] * (1.0 + df["z"])
+        df["dl"] = planck18_dl_np(df["z"].to_numpy())
+        df["pdraw_cosmo"] = df[wt_col] * dm1sqz_dm1ddqdl(
+            df["m1"].to_numpy(), df["q"].to_numpy(), df["z"].to_numpy()
+        )
+    _, (m1d, qs2, dls, pdraws) = group_events(pe, cols=("m1d", "q", "dl", "pdraw_cosmo"))
+    cosmo_data = make_pop_cosmo_data(
+        m1d, qs2, dls, pdraws,
+        sel["m1d"].to_numpy(), sel["q"].to_numpy(), sel["dl"].to_numpy(),
+        sel["pdraw_cosmo"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
+    )
+
+    candidates = (
+        ("pop", "trace.h5", pop_data, None, POP_PRIORS),
+        ("pop_cosmo", "trace_cosmo.h5", cosmo_data, None, POP_COSMO_PRIORS),
+        ("pop_plpeak", "trace_plpeak.h5", pop_data, _build_plpeak, PLPEAK_PRIORS),
+        ("pop_cosmo_plpeak", "trace_cosmo_plpeak.h5", cosmo_data, _build_plpeak,
+         PLPEAK_COSMO_PRIORS),
+    )
+    out = cfg.paths.path("ppc.h5")
+    n_done = 0
+    with h5py.File(out, "w") as f:
+        f.attrs["n_draws"] = c.n_draws
+        for name, fname, data, build, priors in candidates:
+            path = cfg.paths.path(fname)
+            if not Path(path).exists():
+                continue
+            post = load_trace(path).posterior
+            res = posterior_predictive_check(
+                post, list(priors), data, build=build,
+                n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z,
+                n_draws=c.n_draws, seed=c.seed, batch=c.batch,
+                model="pop_cosmo" if "cosmo" in name else "pop",
+            )
+            g = f.create_group(name)
+            g.attrs["n_draws"] = res.n_draws
+            msg = []
+            for col in res.p_values:
+                gc = g.create_group(col)
+                gc.attrs["p_value"] = res.p_values[col]
+                gc.attrs["label"] = res.labels[col]
+                gc.create_dataset("grid", data=res.grid[col])
+                gc.create_dataset("pred_cdf_q", data=res.pred_cdf_q[col])
+                gc.create_dataset("obs_cdf_q", data=res.obs_cdf_q[col])
+                gc.create_dataset("ks_obs", data=res.ks_obs[col])
+                gc.create_dataset("ks_rep", data=res.ks_rep[col])
+                msg.append(f"{res.labels[col]}: p = {res.p_values[col]:.3f}")
+                if res.p_values[col] < 0.01:
+                    print(
+                        f"[ppc] WARNING {name}/{res.labels[col]}: p = "
+                        f"{res.p_values[col]:.4f} — the fit does not reproduce "
+                        "the observed distribution of this observable"
+                    )
+            print(f"[ppc] {name}: " + "; ".join(msg))
+            n_done += 1
+    if n_done == 0:
+        raise FileNotFoundError(
+            "ppc: no trace found (run `pipeline sample` / `sample_cosmo` first)"
+        )
+    return out
+
+
+def _stage_prior_sens(cfg: PipelineConfig):
+    """Prior-sensitivity battery on every saved trace → ``prior_sensitivity.h5``.
+
+    Refit-free: each site's prior is rescaled (×0.5, ×2 by default) and the
+    trace importance-reweighted (``inference/prior_sens.py``); the artifact
+    records the posterior-mean shift (in posterior sds) and sd ratio of every
+    site under every perturbation, plus the reweighting ESS fraction.
+    """
+    import h5py
+
+    from bumpcosmology_tpu.inference.likelihoods import (
+        PLPEAK_COSMO_PRIORS,
+        PLPEAK_PRIORS,
+        POP_COSMO_PRIORS,
+        POP_PRIORS,
+    )
+    from bumpcosmology_tpu.inference.prior_sens import prior_sensitivity_suite
+    from bumpcosmology_tpu.utils.trace import load_trace
+
+    candidates = (
+        ("pop", "trace.h5", POP_PRIORS),
+        ("pop_cosmo", "trace_cosmo.h5", POP_COSMO_PRIORS),
+        ("pop_plpeak", "trace_plpeak.h5", PLPEAK_PRIORS),
+        ("pop_cosmo_plpeak", "trace_cosmo_plpeak.h5", PLPEAK_COSMO_PRIORS),
+    )
+    out = cfg.paths.path("prior_sensitivity.h5")
+    n_done = 0
+    with h5py.File(out, "w") as f:
+        for name, fname, priors in candidates:
+            path = cfg.paths.path(fname)
+            if not Path(path).exists():
+                continue
+            post = load_trace(path).posterior
+            results = prior_sensitivity_suite(post, priors)
+            if not results:
+                continue
+            site_names = [s for s in priors if s in post]
+            g = f.create_group(name)
+            g.create_dataset(
+                "perturbation", data=np.array([r.name for r in results], dtype="S64")
+            )
+            g.create_dataset("site", data=np.array(site_names, dtype="S32"))
+            g.create_dataset(
+                "shift_sd",
+                data=np.array([[r.shift_sd[s] for s in site_names] for r in results]),
+            )
+            g.create_dataset(
+                "sd_ratio",
+                data=np.array([[r.sd_ratio[s] for s in site_names] for r in results]),
+            )
+            g.create_dataset("ess_frac", data=np.array([r.ess_frac for r in results]))
+            worst = max(
+                ((r.name, s, r.shift_sd[s]) for r in results for s in site_names
+                 if r.ess_frac > 0.05),
+                key=lambda t: abs(t[2]), default=None,
+            )
+            if worst is not None:
+                print(
+                    f"[prior-sens] {name}: largest reliable shift {worst[2]:+.2f} "
+                    f"posterior sds on '{worst[1]}' under {worst[0]}"
+                )
+            for r in results:
+                if r.ess_frac < 0.05:
+                    print(
+                        f"[prior-sens] {name}: {r.name} reweighting ESS fraction "
+                        f"{r.ess_frac:.3f} < 0.05 — shift unreliable, refit to confirm"
+                    )
+            n_done += 1
+    if n_done == 0:
+        raise FileNotFoundError(
+            "prior_sens: no trace found (run `pipeline sample` / `sample_cosmo` first)"
+        )
+    return out
 
 
 def write_influence_artifact(out, model: str, names, infl: dict) -> None:
@@ -772,6 +1010,24 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 ],
                 outputs=[p("model_compare.h5")],
                 after=["sample", "sample_cosmo"],
+            ),
+            Stage(
+                "ppc",
+                lambda: _stage_ppc(cfg),
+                inputs=[
+                    p("pe-samples.h5"),
+                    p("selection-samples.h5"),
+                    p("trace.h5"),
+                ],
+                outputs=[p("ppc.h5")],
+                after=["sample"],
+            ),
+            Stage(
+                "prior_sens",
+                lambda: _stage_prior_sens(cfg),
+                inputs=[p("trace.h5")],
+                outputs=[p("prior_sensitivity.h5")],
+                after=["sample"],
             ),
             Stage(
                 "mock_year_samples",

@@ -163,6 +163,26 @@ def test_real_data_pipeline_journey(tmp_path):
             assert f[model].attrs["n_draws"] == 64
         assert "pop" in f.attrs["table"] and "pop_cosmo" in f.attrs["table"]
 
+    # a second mass-model family on the same catalog: the PLPeak fit writes
+    # trace_plpeak.h5 and the compare stage picks it up automatically
+    from bumpcosmology_tpu.pipeline.stages import run_pop_fit
+
+    cfg.fit.mass_family = "plpeak"
+    cfg.fit.num_warmup = 150
+    cfg.fit.num_samples = 100
+    run_pop_fit(cfg)
+    cfg.fit.mass_family = "bump"
+    assert (data_dir / "trace_plpeak.h5").exists()
+    # re-run compare directly (the artifact cache would skip the stage)
+    from bumpcosmology_tpu.pipeline.stages import _stage_compare
+
+    _stage_compare(cfg)
+    with h5py.File(data_dir / "model_compare.h5") as f:
+        assert "pop_plpeak" in f
+        assert f["pop_plpeak"]["elpd_i"].shape == (nobs,)
+        assert np.isfinite(f["pop_plpeak"].attrs["elpd"])
+        assert "pop_plpeak" in f.attrs["table"]
+
 
 @pytest.mark.slow
 def test_pipeline_all_rehearsal_one_command(tmp_path):
