@@ -57,7 +57,12 @@ def _corner(df: pd.DataFrame):
 
 
 def dndm_fitted(trace_path, out="figures/dNdm_fitted.pdf"):
-    """Posterior-predictive band of m·dN/dm at (q=1, z=0) (``dNdm_fitted.py``)."""
+    """Posterior-predictive band of m·dN/dm at (q=1, z=0) (``dNdm_fitted.py``).
+
+    When a POWER-LAW+PEAK fit of the same catalog exists alongside
+    (``trace_plpeak.h5`` next to ``trace_path``), its band is overlaid —
+    both families share the pivot convention, so the curves are directly
+    comparable."""
     sns.set_palette("colorblind")
     tr = load_trace(trace_path)
     dn = tr.posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
@@ -67,9 +72,17 @@ def dndm_fitted(trace_path, out="figures/dNdm_fitted.pdf"):
     q025, q975 = np.quantile(dn, [0.025, 0.975], axis=0)
 
     plt.figure()
-    (line,) = plt.plot(x[1:], med[1:])
+    (line,) = plt.plot(x[1:], med[1:], label=str(tr.attrs.get("family", "bump")))
     plt.fill_between(x[1:], q84[1:], q16[1:], color=line.get_color(), alpha=0.25)
     plt.fill_between(x[1:], q975[1:], q025[1:], color=line.get_color(), alpha=0.25)
+    sibling = Path(trace_path).with_name("trace_plpeak.h5")
+    if sibling.exists() and str(sibling) != str(trace_path):
+        dn2 = load_trace(sibling).posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
+        med2 = np.median(dn2, axis=0)
+        p16, p84 = np.quantile(dn2, [0.16, 0.84], axis=0)
+        (l2,) = plt.plot(x[1:], med2[1:], ls="--", label="plpeak")
+        plt.fill_between(x[1:], p84[1:], p16[1:], color=l2.get_color(), alpha=0.18)
+        plt.legend(fontsize=8)
     plt.xlabel(r"$m_1 / M_\odot$")
     plt.ylabel(
         r"$\left. m_1 \mathrm{d}N/\mathrm{d}m_1 \mathrm{d}q \mathrm{d}V \mathrm{d}t"

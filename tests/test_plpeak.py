@@ -293,3 +293,31 @@ def test_plpeak_fit_smoke_and_compare_integration():
     assert ll.shape == (64, 6)
     loo = psis_loo(ll)
     assert np.isfinite(loo.elpd)
+
+
+def test_dndm_fitted_overlays_plpeak_band(tmp_path):
+    """dNdm_fitted overlays the PLPeak band when trace_plpeak.h5 sits next
+    to the bump trace (shared pivot convention makes them comparable)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from bumpcosmology_tpu.figures.plots import dndm_fitted
+    from bumpcosmology_tpu.utils.trace import Trace, save_trace
+
+    rng = np.random.default_rng(0)
+    curve = np.exp(rng.normal(0.0, 0.1, (2, 50, 128)))
+    save_trace(
+        tmp_path / "trace.h5",
+        Trace({"mdNdmdVdt_fixed_qz": curve}, {}, coords={},
+              attrs={"model": "pop", "family": "bump"}),
+    )
+    p_single = dndm_fitted(tmp_path / "trace.h5", out=tmp_path / "single.pdf")
+    assert p_single.exists()
+    size_single = p_single.stat().st_size
+    save_trace(
+        tmp_path / "trace_plpeak.h5",
+        Trace({"mdNdmdVdt_fixed_qz": 2.0 * curve}, {}, coords={},
+              attrs={"model": "pop", "family": "plpeak"}),
+    )
+    p_both = dndm_fitted(tmp_path / "trace.h5", out=tmp_path / "both.pdf")
+    assert p_both.exists() and p_both.stat().st_size > size_single  # extra band drawn
