@@ -1,0 +1,216 @@
+"""Refined dense mass: does a pooled-draw covariance beat the warmup mass?
+
+Diagnosis (scratch/r5_mass_quality.py): the committed warmup16 mass leaves the
+golden-posterior target at whitened condition 50-85, which is why the adapted
+trajectory length is T=10.9 (~68 leapfrogs/draw).  A mass equal to the true
+posterior covariance should drop the condition to ~1 and the trajectory to a
+few leapfrogs.
+
+Arms (all measured as bench.py does — NUTS 16-chain 400 draws, and ChEES
+T-adapt + 64-chain hybrid 300 draws):
+  A  committed warmup16 kernel     (bench baselines: 63.4 / 68.8 ESS/s)
+  B  realizable: cov pooled from a 40-draw x 16-chain chunk of A's own draws,
+     eps re-adapted by 100 dual-averaging NUTS steps  (the production recipe)
+  C  oracle: cov from the 4000-draw f64 golden trace  (upper bound)
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from bumpcosmology_tpu.benchdata import flagship_pop_cosmo_data
+from bumpcosmology_tpu.inference.chees import run_chees_from_warmup
+from bumpcosmology_tpu.inference.diagnostics import summary
+from bumpcosmology_tpu.inference.likelihoods import pop_cosmo_model_spec
+from bumpcosmology_tpu.inference.model import constrain, make_potential, unconstrain
+from bumpcosmology_tpu.inference.nuts import (
+    NutsConfig,
+    WarmupResult,
+    _da_init,
+    _da_update,
+    nuts_transition,
+    run_sampling,
+)
+from bumpcosmology_tpu.ops.interp import set_default_method
+from bumpcosmology_tpu.utils.checkpoint import load_warmup
+from bumpcosmology_tpu.utils.compile_cache import enable_compilation_cache
+
+CATALOG = "/root/repo/benchmarks/flagship_catalog.npz"
+WARMUP16 = "/root/repo/benchmarks/flagship_warmup16.npz"
+GOLDEN = "/root/repo/benchmarks/golden_joint_f64.npz"
+SEED = 20260819
+
+
+def golden_cov(spec):
+    d = np.load(GOLDEN, allow_pickle=True)
+    names = [k[5:] for k in d.files if k.startswith("post_")]
+    flat = {n: jnp.asarray(d["post_" + n].reshape(-1), jnp.float32) for n in names}
+    n = flat[names[0]].shape[0]
+    th = jax.vmap(lambda i: unconstrain(spec, {k: v[i] for k, v in flat.items()}))(
+        jnp.arange(n)
+    )
+    return np.cov(np.asarray(th, np.float64).T)
+
+
+def eps_readapt(potential, state, cov, chol, eps0, key, n_steps=100):
+    """Per-chain dual-averaging re-adaptation of eps at a FIXED dense mass."""
+    nchains = state.theta.shape[0]
+    dtype = state.theta.dtype
+    cfg = NutsConfig()
+    da0 = jax.vmap(lambda e: _da_init(e, dtype))(jnp.asarray(eps0, dtype))
+
+    @jax.jit
+    def run(state, da, key):
+        def step(carry, k):
+            state, da = carry
+            ks = jax.random.split(k, nchains)
+            eps = jnp.exp(da.log_eps)
+            state, stats = jax.vmap(
+                lambda s, e, c, ch, kk: nuts_transition(potential, s, e, c, ch, kk, cfg.max_depth)
+            )(state, eps, cov, chol, ks)
+            da = jax.vmap(lambda d, a: _da_update(d, a, cfg))(da, stats.accept_prob)
+            return (state, da), stats.accept_prob
+
+        (state, da), acc = jax.lax.scan(step, (state, da0), jax.random.split(key, n_steps))
+        return state, da, acc
+
+    state, da, acc = run(state, da0, key)
+    jax.block_until_ready(state.theta)
+    return state, jnp.exp(da.log_eps_bar), float(jnp.mean(acc[-25:]))
+
+
+def measure(name, spec, potential, warm, key, dev):
+    """bench.py-style: NUTS@16 400 draws, then ChEES T-adapt + hybrid@64."""
+    cfg = NutsConfig()
+    # decorrelate + compile
+    _, _, warm2 = run_sampling(potential, warm, key, 25, cfg)
+    jax.block_until_ready(warm2.state.theta)
+    t0 = time.perf_counter()
+    thetas, stats, _ = run_sampling(potential, warm2, jax.random.split(key)[0], 400, cfg)
+    jax.block_until_ready(thetas)
+    dt = time.perf_counter() - t0
+    sites = {k: np.asarray(v) for k, v in constrain(spec, thetas).items()}
+    st = summary({k: v for k, v in sites.items() if np.ndim(v) == 2})
+    worst = min(st.items(), key=lambda kv: kv[1]["ess"])
+    depth = float(np.median(np.asarray(stats.tree_depth)))
+    nlf = float(np.mean(np.asarray(stats.n_leapfrog)))
+    print(
+        f"[{name}/nuts16] 6400 draws in {dt:.1f}s, min-ESS {worst[1]['ess']:.0f} @ "
+        f"{worst[0]} ({worst[1]['ess']/dt:.2f} ESS/s), med depth {depth:.0f}, "
+        f"mean lf {nlf:.1f}, max rhat {max(s['rhat'] for s in st.values()):.4f}",
+        flush=True,
+    )
+
+    # hybrid: adapt T at 16 chains, then 64-chain fixed-length sampling
+    t0 = time.perf_counter()
+    res = run_chees_from_warmup(
+        potential, warm2, jax.random.PRNGKey(SEED + 5), num_adapt=150, num_samples=0,
+        verbose=False,
+    )
+    t_adapt = time.perf_counter() - t0
+    T = float(res.trajectory_length)
+    eps_c = float(np.asarray(warm2.eps)[0])
+    init_steps = max(1, int(round(T / eps_c)))
+    print(f"[{name}/chees] T={T:.3g} eps={eps_c:.3g} -> ~{init_steps} lf/draw "
+          f"(adapt {t_adapt:.0f}s)", flush=True)
+
+    warm64 = jax.device_put(
+        jax.tree.map(lambda x: np.tile(np.asarray(x), (4,) + (1,) * (np.ndim(x) - 1)), warm2),
+        dev,
+    )
+    pre = run_chees_from_warmup(
+        potential, warm64, jax.random.PRNGKey(SEED + 6), num_adapt=0, num_samples=25,
+        init_steps=init_steps,
+    )
+    jax.block_until_ready(pre.thetas)
+    t0 = time.perf_counter()
+    res2 = run_chees_from_warmup(
+        potential, pre.warm, jax.random.PRNGKey(SEED + 7), num_adapt=0, num_samples=300,
+        init_steps=init_steps,
+    )
+    jax.block_until_ready(res2.thetas)
+    dt = time.perf_counter() - t0
+    sites = {k: np.asarray(v) for k, v in constrain(spec, res2.thetas).items()}
+    st = summary({k: v for k, v in sites.items() if np.ndim(v) == 2})
+    worst = min(st.items(), key=lambda kv: kv[1]["ess"])
+    acc = float(np.mean(np.asarray(res2.accept)))
+    print(
+        f"[{name}/hyb64] 19200 draws in {dt:.1f}s ({19200/dt:.0f} draws/s), accept "
+        f"{acc:.2f}, min-ESS {worst[1]['ess']:.0f} @ {worst[0]} "
+        f"({worst[1]['ess']/dt:.2f} ESS/s), max rhat {max(s['rhat'] for s in st.values()):.4f}",
+        flush=True,
+    )
+    return warm2
+
+
+def refined_warm(state, cov_np, eps_like, potential, key, label):
+    dim = cov_np.shape[0]
+    nch = state.theta.shape[0]
+    cov = jnp.broadcast_to(jnp.asarray(cov_np, jnp.float32), (nch, dim, dim))
+    chol = jnp.broadcast_to(
+        jnp.asarray(np.linalg.cholesky(cov_np), jnp.float32), (nch, dim, dim)
+    )
+    t0 = time.perf_counter()
+    state2, eps, acc = eps_readapt(potential, state, cov, chol, eps_like, key)
+    print(
+        f"[{label}] eps re-adapted in {time.perf_counter()-t0:.0f}s: "
+        f"{np.asarray(eps).round(3)} (accept {acc:.2f})",
+        flush=True,
+    )
+    return WarmupResult(state=state2, eps=eps, cov=cov, chol_cov=chol)
+
+
+def main():
+    enable_compilation_cache()
+    plat = None
+    for p in ("tpu", "axon"):
+        try:
+            if jax.devices(p):
+                plat = p
+                break
+        except RuntimeError:
+            continue
+    assert plat
+    dev = jax.devices(plat)[0]
+    set_default_method(None)
+
+    data = jax.device_put(flagship_pop_cosmo_data(CATALOG), dev)
+    spec = pop_cosmo_model_spec(data)
+    potential = make_potential(spec)
+    warm16 = jax.device_put(load_warmup(WARMUP16), dev)
+
+    # --- A: committed kernel (re-measure today for a fair same-day base) ---
+    warm_a = measure("A:committed", spec, potential, warm16, jax.random.PRNGKey(SEED), dev)
+
+    # --- B: realizable pooled-chunk covariance ---------------------------
+    thetas, _, warm_b0 = run_sampling(potential, warm_a, jax.random.PRNGKey(SEED + 1), 40)
+    jax.block_until_ready(thetas)
+    draws = np.asarray(thetas).reshape(-1, thetas.shape[-1])  # (16*40, dim)
+    c_pool = np.cov(draws.T.astype(np.float64))
+    c_gold = golden_cov(spec)
+    lp = np.linalg.cholesky(c_pool)
+    w = np.linalg.solve(lp, np.linalg.solve(lp, c_gold).T).T
+    ev = np.linalg.eigvalsh(w)
+    print(f"[B] pooled cov from 640 draws: golden-whitened cond {ev.max()/ev.min():.1f} "
+          f"(warmup mass was 50-85)", flush=True)
+    warm_b = refined_warm(
+        warm_b0.state, c_pool, np.asarray(warm_a.eps) * 2.0, potential,
+        jax.random.PRNGKey(SEED + 2), "B:pooled",
+    )
+    measure("B:pooled", spec, potential, warm_b, jax.random.PRNGKey(SEED + 3), dev)
+
+    # --- C: oracle golden covariance --------------------------------------
+    warm_c = refined_warm(
+        warm_a.state, c_gold, np.asarray(warm_a.eps) * 2.0, potential,
+        jax.random.PRNGKey(SEED + 4), "C:golden",
+    )
+    measure("C:golden", spec, potential, warm_c, jax.random.PRNGKey(SEED + 8), dev)
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,7 @@ def test_run_sbc_fleet_joint_model_smoke():
     assert "R_unit" not in ranks
 
 
+@pytest.mark.slow
 def test_fresh_noise_simulator_snr_channel():
     """Fresh-noise joint simulator with the observed-SNR channel conditioned
     into the PE banks (the round-3 λ-calibration fix): valid detector-frame

@@ -164,6 +164,7 @@ def test_shared_mass_pooling():
     np.testing.assert_allclose(cov_pooled, cov_np, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_shared_mass_fit_runs():
     from bumpcosmology_tpu.inference.nuts import NutsConfig, run_nuts
 

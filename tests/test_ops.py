@@ -208,7 +208,10 @@ def test_interp_unit_tiled_exact_vs_flat():
     from bumpcosmology_tpu.ops.interp import interp_unit_spaced, interp_unit_tiled
 
     rng = np.random.default_rng(7)
-    for K, C, tile in [(1024, 1, 32), (1024, 3, 32), (256, 2, 16), (100, 1, 32)]:
+    # two combos keep the coverage axes (multi-column, non-divisible K with
+    # auto-padding) at half the compile count; the 1024-wide production shape
+    # is exercised by the model-level lookup tests
+    for K, C, tile in [(256, 2, 16), (100, 1, 32)]:
         fp = jnp.asarray(
             rng.normal(size=(K,)) if C == 1 else rng.normal(size=(K, C))
         )

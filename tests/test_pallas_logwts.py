@@ -51,6 +51,7 @@ def _queries(seed: int, n: int, det):
     return a, q, dl, log_pdraw
 
 
+@pytest.mark.slow
 def test_pallas_logwts_forward_matches_xla():
     pop, det = _tables(DEFAULT_POPULATION, CosmoParams(h=0.7, Om=0.3, w=-1.0))
     a, q, dl, log_pdraw = _queries(0, 1000, det)
@@ -62,6 +63,7 @@ def test_pallas_logwts_forward_matches_xla():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_logwts_2d_shape_and_padding():
     """Non-block-divisible 2D query batches reshape/pad correctly."""
     pop, det = _tables(DEFAULT_POPULATION, CosmoParams(h=0.7, Om=0.3, w=-1.0))

@@ -205,6 +205,7 @@ def test_plpeak_spec_value_and_grad_finite():
         assert np.all(np.isfinite(np.asarray(g)))
 
 
+@pytest.mark.slow
 def test_plpeak_cosmo_spec_fused_matches_unfused():
     """The detector-table fused path must agree with the direct cosmology
     path for the PLPeak family too (the pallas fast path is bump-only and
