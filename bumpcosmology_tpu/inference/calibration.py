@@ -46,6 +46,7 @@ __all__ = [
     "make_mock_pop_cosmo_simulator_fresh",
     "make_pop_sbc_spec_builder",
     "make_pop_cosmo_sbc_spec_builder",
+    "make_plpeak_cosmo_sbc_spec_builder",
     "sbc_uniformity_pvalues",
 ]
 
@@ -455,6 +456,7 @@ def make_mock_pop_cosmo_simulator_fresh(
     obs_sigma: float = None,
     snr_channel: bool = True,
     max_bank_doublings: int = 4,
+    family: str = "bump",
 ):
     """Joint-model simulator with per-simulation FRESH noise (exact SBC law).
 
@@ -494,6 +496,12 @@ def make_mock_pop_cosmo_simulator_fresh(
 
     ``campaign``: the injection DataFrame WITH true SNR columns (θ- and
     noise-independent, computed once).
+
+    ``family``: the intensity family the prior draws parameterize — ``"bump"``
+    (:func:`population_from_sites`) or ``"plpeak"``
+    (:func:`~bumpcosmology_tpu.inference.likelihoods.plpeak_from_sites`).
+    Everything downstream of the per-θ intensity evaluation is
+    family-agnostic (banks, noise, selection, the SNR channel).
     """
     import math as _math
 
@@ -526,6 +534,21 @@ def make_mock_pop_cosmo_simulator_fresh(
     pdraw_src = campaign["pdraw_mqz"].to_numpy()
     n_total = float(len(campaign))
 
+    if family == "plpeak":
+        from bumpcosmology_tpu.inference.likelihoods import plpeak_from_sites
+        from bumpcosmology_tpu.models.plpeak import build_plpeak_population
+
+        def build_pop(sites):
+            return build_plpeak_population(plpeak_from_sites(sites))
+
+    elif family == "bump":
+
+        def build_pop(sites):
+            return build_population(population_from_sites(sites))
+
+    else:
+        raise ValueError(f"unknown intensity family {family!r}")
+
     m1d = m1 * (1.0 + z)
     dl = planck18_dl_np(z)
     pdraw_det = pdraw_src * dm1sqz_dm1ddqdl(m1, q, z)
@@ -552,7 +575,7 @@ def make_mock_pop_cosmo_simulator_fresh(
         pool_snr_obs = snr_obs[pick_sel]
         ndraw_eff = n_total * (nsel / len(det))
 
-        pop = build_population(population_from_sites(sites))
+        pop = build_pop(sites)
         cosmo = build_cosmology(cosmo_from_sites(sites))
         logwt = np.asarray(
             _cosmo_frame_logwts(
@@ -664,6 +687,42 @@ def make_pop_sbc_spec_builder(n_grid: int = 128):
 
             return ModelSpec(priors=dict(POP_PRIORS), loglike=lambda s: jnp.asarray(0.0))
         return pop_model_spec(data, n_grid=n_grid)
+
+    return build
+
+
+def make_plpeak_cosmo_sbc_spec_builder(n_grid: int = 128, n_z: int = 256):
+    """Spec builder for SBC over the joint POWER-LAW+PEAK model.
+
+    One prior is narrowed relative to the fitting spec: ``mmin`` runs over
+    [5, 10] instead of the GWTC-3 [2, 10], because the mock injection
+    campaign draws primaries on m1 ≥ 5 (the reference's own grid,
+    ``mock_injections.py:145-149``) and the fiducial PE-bank proposal
+    inherits that support — a generating θ with mmin < 5 would ask the
+    simulator for events it cannot produce.  SBC is exact for whatever
+    generating prior the fitted spec shares, so the certificate covers the
+    mmin ∈ [5, 10] slice; the fitting spec itself is unchanged.
+    """
+    from bumpcosmology_tpu.inference.distributions import Uniform
+    from bumpcosmology_tpu.inference.likelihoods import (
+        PLPEAK_COSMO_PRIORS,
+        plpeak_cosmo_loglike,
+    )
+
+    priors = {**PLPEAK_COSMO_PRIORS, "mmin": Uniform(5.0, 10.0)}
+
+    def build(data):
+        import jax.numpy as jnp
+
+        if data is None:
+            return ModelSpec(priors=dict(priors), loglike=lambda s: jnp.asarray(0.0))
+        from bumpcosmology_tpu.inference.likelihoods import dl_bounds_of
+
+        bounds = dl_bounds_of(data, margin=0.1)
+        return ModelSpec(
+            priors=dict(priors),
+            loglike=lambda s: plpeak_cosmo_loglike(s, data, n_grid, n_z, bounds),
+        )
 
     return build
 

@@ -100,7 +100,7 @@ class MockConfig:
 class SBCConfig:
     """Simulation-based calibration suite (BASELINE.md scale-out config)."""
 
-    model: str = "pop"  # "pop" or "pop_cosmo" (joint model)
+    model: str = "pop"  # "pop", "pop_cosmo" (joint) or "plpeak_cosmo" (joint, PLPeak family)
     n_sims: int = 20
     nobs: int = 12
     nsamp: int = 64
@@ -125,6 +125,26 @@ class SBCConfig:
     fleet_chunk: int = 5
     max_depth: int = 8
     seed: int = 424242
+
+
+@dataclass
+class ScoreCheckConfig:
+    """Score-identity diagnostic (``pipeline score_check``): E[∇ log L̂] = 0
+    at the default parameters over fresh simulated catalogs — the fit-free
+    generative/model-mismatch instrument (docs/DESIGN.md §9.5)."""
+
+    model: str = "pop_cosmo"  # "pop_cosmo" or "plpeak_cosmo"
+    n_catalogs: int = 200
+    nobs: int = 16
+    nsamp: int = 256
+    nsel: int = 3584
+    campaign_ndraw: int = 6_500_000
+    pe_bank_size: int = 16384
+    threshold: float = 20.0
+    n_grid: int = 128
+    n_z: int = 256
+    z_bar: float = 4.0  # per-site |z| pass bar on the TOTAL score
+    seed: int = 616161
 
 
 @dataclass
@@ -165,6 +185,7 @@ class PipelineConfig:
     fit: FitConfig = field(default_factory=FitConfig)
     mock: MockConfig = field(default_factory=MockConfig)
     sbc: SBCConfig = field(default_factory=SBCConfig)
+    score: ScoreCheckConfig = field(default_factory=ScoreCheckConfig)
     loo: LooConfig = field(default_factory=LooConfig)
     compare: CompareConfig = field(default_factory=CompareConfig)
     ppc: PpcConfig = field(default_factory=PpcConfig)

@@ -402,15 +402,18 @@ def _stage_sbc(cfg: PipelineConfig):
         obs = obs.iloc[keep].reset_index(drop=True)
         n_total = n_total * frac
         print(f"[sbc] detected pool thinned to {len(obs)} (Ndraw_eff {n_total:.0f})")
-    if c.model == "pop_cosmo":
+    if c.model in ("pop_cosmo", "plpeak_cosmo"):
         from bumpcosmology_tpu.inference.calibration import (
             make_mock_pop_cosmo_simulator_fresh,
+            make_plpeak_cosmo_sbc_spec_builder,
         )
         from bumpcosmology_tpu.inference.likelihoods import (
             dl_bounds_of,
+            plpeak_cosmo_loglike,
             pop_cosmo_loglike,
         )
 
+        family = "plpeak" if c.model == "plpeak_cosmo" else "bump"
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
         if c.fresh_noise:
@@ -421,18 +424,26 @@ def _stage_sbc(cfg: PipelineConfig):
                 print("[sbc] note: pool_max only applies to the shared-bank simulators")
             simulate = make_mock_pop_cosmo_simulator_fresh(
                 inj, nobs=c.nobs, nsamp=c.nsamp, nsel=max(c.nsel, 2048),
-                pe_bank_size=c.pe_bank_size, threshold=c.threshold,
+                pe_bank_size=c.pe_bank_size, threshold=c.threshold, family=family,
             )
         else:
+            if family != "bump":
+                raise ValueError("plpeak_cosmo SBC requires fresh_noise=True")
             simulate = make_mock_pop_cosmo_simulator(
                 obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp,
                 nsel=max(c.nsel, 2048), pe_bank_size=c.pe_bank_size, seed=c.seed + 2,
             )
-        proto = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)(None)
+        if family == "plpeak":
+            builder = make_plpeak_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+            loglike_fn = plpeak_cosmo_loglike
+        else:
+            builder = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+            loglike_fn = pop_cosmo_loglike
+        proto = builder(None)
 
         def make_loglike(datas):
             bounds = dl_bounds_of(datas, margin=0.1)
-            return lambda sites, d: pop_cosmo_loglike(
+            return lambda sites, d: loglike_fn(
                 sites, d, cfg.fit.n_grid, cfg.fit.n_z, bounds
             )
 
@@ -449,7 +460,9 @@ def _stage_sbc(cfg: PipelineConfig):
             return lambda sites, d: pop_loglike(sites, d, cfg.fit.n_grid)
 
     else:
-        raise ValueError(f"unknown sbc model {c.model!r}; use 'pop' or 'pop_cosmo'")
+        raise ValueError(
+            f"unknown sbc model {c.model!r}; use 'pop', 'pop_cosmo' or 'plpeak_cosmo'"
+        )
     from bumpcosmology_tpu.inference.nuts import NutsConfig
 
     ranks = run_sbc_fleet(
@@ -500,6 +513,105 @@ def write_sbc_artifact(out, model: str, n_sims: int, ranks: dict, pvals: dict) -
         for k, v in pvals.items():
             g2.attrs[k] = v
     return bad
+
+
+def _score_check_sites0(model: str) -> dict:
+    """Default ("true") parameter sites for the score-identity check."""
+    from bumpcosmology_tpu.models.parameters import DEFAULT_POPULATION, PLANCK18
+
+    sites = {"h": PLANCK18.h, "Om": PLANCK18.Om, "w": PLANCK18.w, "R_unit": 0.0}
+    if model == "plpeak_cosmo":
+        from bumpcosmology_tpu.models.plpeak import DEFAULT_PLPEAK_POPULATION
+
+        mp = DEFAULT_PLPEAK_POPULATION.mass
+        rp = DEFAULT_PLPEAK_POPULATION.redshift
+        sites.update(
+            alpha=mp.alpha, beta_q=mp.beta_q, mmin=mp.mmin, mmax=mp.mmax,
+            lam_peak=mp.lam_peak, mu_m=mp.mu_m, sigma_m=mp.sigma_m,
+            delta_m=mp.delta_m,
+        )
+    else:
+        mp = DEFAULT_POPULATION.mass
+        sites.update(
+            a=mp.a, b=mp.b, c=mp.c, mpisn=mp.mpisn, dmbhmax=mp.mbhmax - mp.mpisn,
+            sigma=mp.sigma, log_fpl=float(np.log(mp.fpl)), beta=mp.beta,
+        )
+    rp = DEFAULT_POPULATION.redshift
+    sites.update(lam=rp.lam, dkappa=rp.kappa - rp.lam, zp=rp.zp)
+    return sites
+
+
+def _stage_score_check(cfg: PipelineConfig):
+    """Score-identity diagnostic → ``score_check.h5`` (fit-free mismatch test).
+
+    E_{data|θ₀}[∇ log L̂(θ₀)] per hyperparameter and likelihood term over
+    fresh simulated catalogs (docs/DESIGN.md §9.5 — the instrument that
+    found the λ root cause).  Pass = every TOTAL |z| under ``score.z_bar``.
+    """
+    import h5py
+    import jax  # noqa: F401  (device availability drives interp defaults upstream)
+
+    from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_cosmo_simulator_fresh,
+    )
+    from bumpcosmology_tpu.inference.score_check import (
+        joint_term_grads,
+        score_identity_check,
+    )
+    from bumpcosmology_tpu.mock import draw_injection_campaign
+
+    c = cfg.score
+    if c.model not in ("pop_cosmo", "plpeak_cosmo"):
+        raise ValueError(
+            f"unknown score_check model {c.model!r}; use 'pop_cosmo' or 'plpeak_cosmo'"
+        )
+    family = "plpeak" if c.model == "plpeak_cosmo" else "bump"
+    build = None
+    if family == "plpeak":
+        from bumpcosmology_tpu.inference.likelihoods import _build_plpeak
+
+        build = _build_plpeak
+
+    inj = draw_injection_campaign(
+        ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk
+    )
+    simulate = make_mock_pop_cosmo_simulator_fresh(
+        inj, nobs=c.nobs, nsamp=c.nsamp, nsel=c.nsel,
+        pe_bank_size=c.pe_bank_size, threshold=c.threshold, family=family,
+    )
+    sites0 = _score_check_sites0(c.model)
+    grad_sites = tuple(k for k in sites0 if k != "R_unit")
+    term_grads = joint_term_grads(
+        sites0, grad_sites, nobs=c.nobs, n_grid=c.n_grid, n_z=c.n_z, build=build
+    )
+
+    def progress(i, n):
+        if i % 50 == 0 or i == n:
+            print(f"[score_check] {i}/{n} catalogs", flush=True)
+
+    res = score_identity_check(
+        simulate, sites0, term_grads, grad_sites,
+        n_catalogs=c.n_catalogs, seed=c.seed + 1, progress=progress,
+    )
+    print(res.table())
+    ok = res.max_abs_z() < c.z_bar
+    out = cfg.paths.path("score_check.h5")
+    with h5py.File(out, "w") as f:
+        f.attrs["model"] = c.model
+        f.attrs["n_catalogs"] = res.n_catalogs
+        f.attrs["z_bar"] = c.z_bar
+        f.attrs["all_pass"] = ok
+        f.create_dataset("site", data=np.array(res.sites, dtype="S32"))
+        f.create_dataset("mean", data=res.mean)
+        f.create_dataset("se", data=res.se)
+        f.create_dataset("z", data=res.z)
+    verdict = "PASS" if ok else "FAIL"
+    print(f"[score_check] max TOTAL |z| = {res.max_abs_z():.2f} (bar {c.z_bar}) -> {verdict}")
+    if not ok:
+        print(
+            "[score_check] WARNING: nonzero expected score — the simulator and "
+            "the fitted likelihood disagree; see the per-term table above"
+        )
 
 
 def _stage_loo(cfg: PipelineConfig):
@@ -987,6 +1099,11 @@ def build_pipeline(cfg: PipelineConfig) -> Pipeline:
                 "sbc",
                 lambda: _stage_sbc(cfg),
                 outputs=[p("sbc_ranks.h5")],
+            ),
+            Stage(
+                "score_check",
+                lambda: _stage_score_check(cfg),
+                outputs=[p("score_check.h5")],
             ),
             Stage(
                 "loo",

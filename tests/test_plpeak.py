@@ -322,3 +322,38 @@ def test_dndm_fitted_overlays_plpeak_band(tmp_path):
     )
     p_both = dndm_fitted(tmp_path / "trace.h5", out=tmp_path / "both.pdf")
     assert p_both.exists() and p_both.stat().st_size > size_single  # extra band drawn
+
+
+def test_plpeak_fresh_simulator_and_sbc_spec():
+    """The family-generalized fresh-noise simulator draws a valid PLPeak
+    catalog and the SBC spec builder (mmin restricted to the campaign's
+    m1 >= 5 support) yields a finite differentiable potential at its own
+    prior draws — the fast-tier guard on the plpeak_cosmo SBC path."""
+    from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_cosmo_simulator_fresh,
+        make_plpeak_cosmo_sbc_spec_builder,
+    )
+    from bumpcosmology_tpu.inference.model import constrain, make_potential, prior_sample
+    from bumpcosmology_tpu.mock import draw_injection_campaign
+
+    inj = draw_injection_campaign(ndraw=24_000, seed=71, snr_chunk=8192)
+    builder = make_plpeak_cosmo_sbc_spec_builder(n_grid=64, n_z=128)
+    proto = builder(None)
+    assert float(proto.priors["mmin"].low) == 5.0  # support slice documented
+    rng = np.random.default_rng(72)
+    sites = {
+        k: np.asarray(v)
+        for k, v in constrain(proto, prior_sample(proto, jax.random.PRNGKey(73))).items()
+    }
+    simulate = make_mock_pop_cosmo_simulator_fresh(
+        inj, nobs=3, nsamp=8, nsel=24, pe_bank_size=512,
+        threshold=10.0, family="plpeak", max_bank_doublings=1,
+    )
+    data = simulate(rng, sites)
+    assert data.events.a.shape == (3, 8)
+    assert data.selection.a.shape == (24,)
+    assert np.all(np.isfinite(np.asarray(data.events.log_pdraw)))
+    spec = builder(data)
+    u, g = jax.value_and_grad(make_potential(spec))(prior_sample(spec, jax.random.PRNGKey(74)))
+    assert np.isfinite(np.asarray(u))
+    assert np.all(np.isfinite(np.asarray(g)))
