@@ -59,10 +59,10 @@ def _corner(df: pd.DataFrame):
 def dndm_fitted(trace_path, out="figures/dNdm_fitted.pdf"):
     """Posterior-predictive band of m·dN/dm at (q=1, z=0) (``dNdm_fitted.py``).
 
-    When a POWER-LAW+PEAK fit of the same catalog exists alongside
-    (``trace_plpeak.h5`` next to ``trace_path``), its band is overlaid —
-    both families share the pivot convention, so the curves are directly
-    comparable."""
+    When other-family fits of the same catalog exist alongside
+    (``trace_plpeak.h5`` / ``trace_brokenpl.h5`` next to ``trace_path``),
+    their bands are overlaid — all families share the pivot convention, so
+    the curves are directly comparable."""
     sns.set_palette("colorblind")
     tr = load_trace(trace_path)
     dn = tr.posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
@@ -75,13 +75,17 @@ def dndm_fitted(trace_path, out="figures/dNdm_fitted.pdf"):
     (line,) = plt.plot(x[1:], med[1:], label=str(tr.attrs.get("family", "bump")))
     plt.fill_between(x[1:], q84[1:], q16[1:], color=line.get_color(), alpha=0.25)
     plt.fill_between(x[1:], q975[1:], q025[1:], color=line.get_color(), alpha=0.25)
-    sibling = Path(trace_path).with_name("trace_plpeak.h5")
-    if sibling.exists() and str(sibling) != str(trace_path):
-        dn2 = load_trace(sibling).posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
-        med2 = np.median(dn2, axis=0)
-        p16, p84 = np.quantile(dn2, [0.16, 0.84], axis=0)
-        (l2,) = plt.plot(x[1:], med2[1:], ls="--", label="plpeak")
-        plt.fill_between(x[1:], p84[1:], p16[1:], color=l2.get_color(), alpha=0.18)
+    overlaid = False
+    for fam, style in (("plpeak", "--"), ("brokenpl", ":")):
+        sibling = Path(trace_path).with_name(f"trace_{fam}.h5")
+        if sibling.exists() and str(sibling) != str(trace_path):
+            dn2 = load_trace(sibling).posterior["mdNdmdVdt_fixed_qz"].reshape(-1, 128)
+            med2 = np.median(dn2, axis=0)
+            p16, p84 = np.quantile(dn2, [0.16, 0.84], axis=0)
+            (l2,) = plt.plot(x[1:], med2[1:], ls=style, label=fam)
+            plt.fill_between(x[1:], p84[1:], p16[1:], color=l2.get_color(), alpha=0.18)
+            overlaid = True
+    if overlaid:
         plt.legend(fontsize=8)
     plt.xlabel(r"$m_1 / M_\odot$")
     plt.ylabel(
@@ -318,6 +322,12 @@ def model_compare_fig(compare_path, out="figures/model_compare.pdf"):
         elpd = {m: np.asarray(f[m]["elpd_i"]) for m in ("pop", "pop_cosmo")}
         khat = {m: np.asarray(f[m]["khat"]) for m in ("pop", "pop_cosmo")}
         best = f.attrs.get("best_model", "?")
+        bf_note = ""
+        if all("log_z" in f[m].attrs for m in ("pop", "pop_cosmo")):
+            d_logz = float(f["pop_cosmo"].attrs["log_z"] - f["pop"].attrs["log_z"])
+            bf_note = (
+                f"; $\\log_{{10}}$BF(pop_cosmo/pop) = {d_logz / np.log(10.0):.1f}"
+            )
 
     n = len(events)
     x = np.arange(n)
@@ -330,7 +340,7 @@ def model_compare_fig(compare_path, out="figures/model_compare.pdf"):
     ax1.axhline(0.0, color="k", lw=0.8)
     ax1.set_ylabel(r"$\Delta$elpd$_i$ (pop_cosmo $-$ pop)")
     ax1.set_title(
-        f"Predictive comparison (PSIS-LOO) — preferred: {best}", fontsize=10
+        f"Predictive comparison (PSIS-LOO) — preferred: {best}{bf_note}", fontsize=10
     )
     for m, c in (("pop", "C1"), ("pop_cosmo", "C0")):
         ax2.plot(x, khat[m], ".", color=c, label=m)

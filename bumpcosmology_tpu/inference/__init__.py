@@ -29,3 +29,8 @@ from bumpcosmology_tpu.inference.influence import (
     loo_fit,
     make_loo_datas,
 )
+from bumpcosmology_tpu.inference.evidence import (
+    EvidenceResult,
+    bayes_factor_table,
+    log_evidence_bridge,
+)

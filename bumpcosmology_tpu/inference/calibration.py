@@ -47,6 +47,7 @@ __all__ = [
     "make_pop_sbc_spec_builder",
     "make_pop_cosmo_sbc_spec_builder",
     "make_plpeak_cosmo_sbc_spec_builder",
+    "make_brokenpl_cosmo_sbc_spec_builder",
     "sbc_uniformity_pvalues",
 ]
 
@@ -541,6 +542,13 @@ def make_mock_pop_cosmo_simulator_fresh(
         def build_pop(sites):
             return build_plpeak_population(plpeak_from_sites(sites))
 
+    elif family == "brokenpl":
+        from bumpcosmology_tpu.inference.likelihoods import brokenpl_from_sites
+        from bumpcosmology_tpu.models.brokenpl import build_brokenpl_population
+
+        def build_pop(sites):
+            return build_brokenpl_population(brokenpl_from_sites(sites))
+
     elif family == "bump":
 
         def build_pop(sites):
@@ -722,6 +730,36 @@ def make_plpeak_cosmo_sbc_spec_builder(n_grid: int = 128, n_z: int = 256):
         return ModelSpec(
             priors=dict(priors),
             loglike=lambda s: plpeak_cosmo_loglike(s, data, n_grid, n_z, bounds),
+        )
+
+    return build
+
+
+def make_brokenpl_cosmo_sbc_spec_builder(n_grid: int = 128, n_z: int = 256):
+    """Spec builder for SBC over the joint BROKEN POWER LAW model.
+
+    Same ``mmin`` support slice as the PLPeak builder (campaign draws
+    primaries on m1 ≥ 5; see :func:`make_plpeak_cosmo_sbc_spec_builder`).
+    """
+    from bumpcosmology_tpu.inference.distributions import Uniform
+    from bumpcosmology_tpu.inference.likelihoods import (
+        BROKENPL_COSMO_PRIORS,
+        brokenpl_cosmo_loglike,
+    )
+
+    priors = {**BROKENPL_COSMO_PRIORS, "mmin": Uniform(5.0, 10.0)}
+
+    def build(data):
+        import jax.numpy as jnp
+
+        if data is None:
+            return ModelSpec(priors=dict(priors), loglike=lambda s: jnp.asarray(0.0))
+        from bumpcosmology_tpu.inference.likelihoods import dl_bounds_of
+
+        bounds = dl_bounds_of(data, margin=0.1)
+        return ModelSpec(
+            priors=dict(priors),
+            loglike=lambda s: brokenpl_cosmo_loglike(s, data, n_grid, n_z, bounds),
         )
 
     return build

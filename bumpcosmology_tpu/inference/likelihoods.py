@@ -637,3 +637,172 @@ def plpeak_cosmo_model_spec(
         priors=dict(PLPEAK_COSMO_PRIORS),
         loglike=lambda sites: plpeak_cosmo_loglike(sites, data, n_grid, n_z, bounds),
     )
+
+
+# ---------------------------------------------------------------------------
+# BROKEN POWER LAW family (third mass family; ``models/brokenpl.py``)
+# ---------------------------------------------------------------------------
+
+
+def brokenpl_from_sites(sites: Dict[str, jnp.ndarray]):
+    """Site dict → :class:`~bumpcosmology_tpu.models.brokenpl.BrokenPLPopulationParams`.
+
+    Mass sites are direct; the redshift block shares the ``kappa = lam +
+    dkappa`` reparam with the other two families.
+    """
+    from bumpcosmology_tpu.models.brokenpl import (
+        BrokenPLMassParams,
+        BrokenPLPopulationParams,
+    )
+
+    mass = BrokenPLMassParams(
+        alpha1=sites["alpha1"],
+        alpha2=sites["alpha2"],
+        bfrac=sites["bfrac"],
+        beta_q=sites["beta_q"],
+        mmin=sites["mmin"],
+        mmax=sites["mmax"],
+        delta_m=sites["delta_m"],
+    )
+    redshift = RedshiftParams(
+        lam=sites["lam"], kappa=sites["lam"] + sites["dkappa"], zp=sites["zp"]
+    )
+    return BrokenPLPopulationParams(mass=mass, redshift=redshift)
+
+
+def _build_brokenpl(sites, n_grid):
+    from bumpcosmology_tpu.models.brokenpl import build_brokenpl_population
+
+    return build_brokenpl_population(brokenpl_from_sites(sites), n_m=n_grid)
+
+
+def brokenpl_loglike(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """Population-only log-likelihood under the BROKEN POWER LAW family."""
+    return pop_loglike(sites, data, n_grid, build=_build_brokenpl)
+
+
+def brokenpl_cosmo_loglike(
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, dl_bounds=None
+):
+    """Joint population+cosmology log-likelihood under BROKEN POWER LAW."""
+    return pop_cosmo_loglike(sites, data, n_grid, n_z, dl_bounds, build=_build_brokenpl)
+
+
+def brokenpl_deterministics(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
+    """Deterministic trace sites for the BrokenPL population-only fit."""
+    nobs = data.events.a.shape[0]
+    pop, log_wts, log_sel_wts = _pop_event_sel_logwts(sites, data, n_grid, _build_brokenpl)
+    return _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+
+
+def brokenpl_cosmo_deterministics(
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+):
+    """Deterministic trace sites for the BrokenPL joint fit (generic set + hz)."""
+    nobs = data.events.a.shape[0]
+    pop, cosmo, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(
+        sites, data, n_grid, n_z, build=_build_brokenpl
+    )
+    out = _shared_deterministics(sites, pop, log_wts, log_sel_wts, data.selection.log_ndraw, nobs)
+    z_grid = jnp.asarray(COORDS["z_grid"], dtype=log_wts.dtype)
+    out["hz"] = cosmo.params.h * efunc(z_grid, cosmo.params)
+    return out
+
+
+# BROKEN POWER LAW hyperpriors: the LVK appendix-B analysis ranges.
+_BROKENPL_MASS_PRIORS = {
+    "alpha1": Uniform(-4.0, 12.0),
+    "alpha2": Uniform(-4.0, 12.0),
+    "bfrac": Uniform(0.0, 1.0),
+    "beta_q": Uniform(-4.0, 12.0),
+    "mmin": Uniform(2.0, 10.0),
+    "mmax": Uniform(50.0, 200.0),
+    "delta_m": Uniform(0.0, 10.0),
+}
+
+BROKENPL_PRIORS = {**_BROKENPL_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS}
+BROKENPL_COSMO_PRIORS = {
+    **_COSMO_PRIORS, **_BROKENPL_MASS_PRIORS, **_REDSHIFT_PRIORS, **_RATE_PRIORS
+}
+
+
+def brokenpl_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
+    """The BROKEN POWER LAW population-only model as a :class:`ModelSpec` (11 sites)."""
+    return ModelSpec(
+        priors=dict(BROKENPL_PRIORS),
+        loglike=lambda sites: brokenpl_loglike(sites, data, n_grid),
+    )
+
+
+def brokenpl_cosmo_model_spec(
+    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+) -> ModelSpec:
+    """The joint BROKEN POWER LAW + flat-wCDM model as a :class:`ModelSpec` (14 sites)."""
+    bounds = dl_bounds_of(data)
+    return ModelSpec(
+        priors=dict(BROKENPL_COSMO_PRIORS),
+        loglike=lambda sites: brokenpl_cosmo_loglike(sites, data, n_grid, n_z, bounds),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mass-family registry — one row per family; stages/compare/ppc dispatch here
+# ---------------------------------------------------------------------------
+
+
+class MassFamily(NamedTuple):
+    """Everything the pipeline needs to fit/compare one mass-model family.
+
+    ``build`` is the per-draw intensity constructor passed through the
+    generic likelihood plumbing (``None`` selects the default PISN-bump
+    path); ``trace_name``/``cosmo_trace_name`` are the artifact filenames
+    (the bump family keeps the reference's unsuffixed names,
+    ``run_fit.py:42`` / ``run_cosmo_fit.py:53``).
+    """
+
+    build: object  # Optional[(sites, n_grid) -> intensity]
+    pop_priors: Dict[str, object]
+    cosmo_priors: Dict[str, object]
+    pop_spec: object
+    cosmo_spec: object
+    pop_det: object
+    cosmo_det: object
+    trace_name: str
+    cosmo_trace_name: str
+
+
+MASS_FAMILIES: Dict[str, MassFamily] = {
+    "bump": MassFamily(
+        build=None,
+        pop_priors=POP_PRIORS,
+        cosmo_priors=POP_COSMO_PRIORS,
+        pop_spec=pop_model_spec,
+        cosmo_spec=pop_cosmo_model_spec,
+        pop_det=pop_deterministics,
+        cosmo_det=pop_cosmo_deterministics,
+        trace_name="trace.h5",
+        cosmo_trace_name="trace_cosmo.h5",
+    ),
+    "plpeak": MassFamily(
+        build=_build_plpeak,
+        pop_priors=PLPEAK_PRIORS,
+        cosmo_priors=PLPEAK_COSMO_PRIORS,
+        pop_spec=plpeak_model_spec,
+        cosmo_spec=plpeak_cosmo_model_spec,
+        pop_det=plpeak_deterministics,
+        cosmo_det=plpeak_cosmo_deterministics,
+        trace_name="trace_plpeak.h5",
+        cosmo_trace_name="trace_cosmo_plpeak.h5",
+    ),
+    "brokenpl": MassFamily(
+        build=_build_brokenpl,
+        pop_priors=BROKENPL_PRIORS,
+        cosmo_priors=BROKENPL_COSMO_PRIORS,
+        pop_spec=brokenpl_model_spec,
+        cosmo_spec=brokenpl_cosmo_model_spec,
+        pop_det=brokenpl_deterministics,
+        cosmo_det=brokenpl_cosmo_deterministics,
+        trace_name="trace_brokenpl.h5",
+        cosmo_trace_name="trace_cosmo_brokenpl.h5",
+    ),
+}

@@ -208,8 +208,12 @@ class PLPeakIntensity(NamedTuple):
         )
 
 
-def _log_nq_grid(p: PLPeakMassParams, n_m: int, n_q: int):
+def _log_nq_grid(beta_q, mmin, delta_m, n_m: int, n_q: int):
     """Tabulate log N_q(m1) = log ∫_0^1 dq q^β S(q·m1) on the uniform m1 grid.
+
+    Shared by every mass family with the GWTC power-law-in-q pairing
+    (PLPeak here, the broken power law in :mod:`models.brokenpl`): the
+    pairing normalization depends only on (β_q, mmin, δ_m).
 
     The integrand is steep near the q ≈ mmin/m1 cut, so the quadrature runs
     in log q (static log-spaced nodes, trapezoid in u = log q):
@@ -221,8 +225,8 @@ def _log_nq_grid(p: PLPeakMassParams, n_m: int, n_q: int):
     dm = (M_TAB_HI - M_TAB_LO) / (n_m - 1)
     m1 = M_TAB_LO + dm * jnp.arange(n_m)
     u = jnp.linspace(math.log(Q_TAB_LO), 0.0, n_q)
-    log_integrand = (p.beta_q + 1.0) * u[None, :] + log_planck_taper(
-        jnp.exp(u)[None, :] * m1[:, None], p.mmin, p.delta_m
+    log_integrand = (beta_q + 1.0) * u[None, :] + log_planck_taper(
+        jnp.exp(u)[None, :] * m1[:, None], mmin, delta_m
     )
     # Clamp the -inf integrand entries (S ≡ 0 below the taper) to a large
     # finite floor BEFORE the log-trapezoid: an all--inf row (m1 ≤ mmin)
@@ -238,7 +242,8 @@ def build_plpeak_population(
     params: PLPeakPopulationParams, n_m: int = DEFAULT_N_M, n_q: int = DEFAULT_N_Q
 ) -> PLPeakIntensity:
     """Build the per-draw PLPeak intensity (q-norm table + pivot normalization)."""
-    dm, log_nq = _log_nq_grid(params.mass, n_m, n_q)
+    p = params.mass
+    dm, log_nq = _log_nq_grid(p.beta_q, p.mmin, p.delta_m, n_m, n_q)
     intensity = PLPeakIntensity(
         params=params,
         m_lo=jnp.asarray(M_TAB_LO, dtype=log_nq.dtype),

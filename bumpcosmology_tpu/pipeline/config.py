@@ -66,10 +66,11 @@ class FitConfig:
     n_z: int = 1024
     n_chain_shards: int = 1  # mesh rows for the chains axis
     shared_mass: bool = False  # pool mass-matrix adaptation across chains
-    # mass-model family: "bump" (the reference's physical PISN-bump model) or
-    # "plpeak" (the GWTC-3 fiducial POWER-LAW+PEAK, models/plpeak.py) —
-    # selects the spec/deterministics pair in the fit stages; traces record
-    # the family so `pipeline compare` can rank them on the same catalog
+    # mass-model family: "bump" (the reference's physical PISN-bump model),
+    # "plpeak" (the GWTC-3 fiducial POWER-LAW+PEAK, models/plpeak.py) or
+    # "brokenpl" (the LVK BROKEN POWER LAW, models/brokenpl.py) — selects the
+    # registry row (likelihoods.MASS_FAMILIES) in the fit stages; traces
+    # record the family so `pipeline compare` can rank them on one catalog
     mass_family: str = "bump"
     # "nuts" (reference parity), "chees", or "nuts+chees" (NUTS warmup +
     # fixed-length jittered sampling — the ragged-tree-free TPU config)
@@ -100,7 +101,7 @@ class MockConfig:
 class SBCConfig:
     """Simulation-based calibration suite (BASELINE.md scale-out config)."""
 
-    model: str = "pop"  # "pop", "pop_cosmo" (joint) or "plpeak_cosmo" (joint, PLPeak family)
+    model: str = "pop"  # "pop", "pop_cosmo" (joint), "plpeak_cosmo" or "brokenpl_cosmo"
     n_sims: int = 20
     nobs: int = 12
     nsamp: int = 64
@@ -133,7 +134,7 @@ class ScoreCheckConfig:
     at the default parameters over fresh simulated catalogs — the fit-free
     generative/model-mismatch instrument (docs/DESIGN.md §9.5)."""
 
-    model: str = "pop_cosmo"  # "pop_cosmo" or "plpeak_cosmo"
+    model: str = "pop_cosmo"  # "pop_cosmo", "plpeak_cosmo" or "brokenpl_cosmo"
     n_catalogs: int = 200
     nobs: int = 16
     nsamp: int = 256

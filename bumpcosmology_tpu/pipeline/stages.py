@@ -136,13 +136,7 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
     """Population-only NUTS fit (``run_fit.py``) → trace HDF5."""
     import jax
 
-    from bumpcosmology_tpu.inference.likelihoods import (
-        make_pop_data,
-        plpeak_deterministics,
-        plpeak_model_spec,
-        pop_deterministics,
-        pop_model_spec,
-    )
+    from bumpcosmology_tpu.inference.likelihoods import MASS_FAMILIES, make_pop_data
     from bumpcosmology_tpu.inference.nuts import NutsConfig
     from bumpcosmology_tpu.inference.sampler import fit
     from bumpcosmology_tpu.models.population import COORDS
@@ -158,14 +152,14 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         ndraw=float(sel["ndraw"].iloc[0]),
     )
     family = cfg.fit.mass_family
-    if family == "plpeak":
-        spec = plpeak_model_spec(data, n_grid=cfg.fit.n_grid)
-        det_fn = lambda s: plpeak_deterministics(s, data, n_grid=cfg.fit.n_grid)  # noqa: E731
-    elif family == "bump":
-        spec = pop_model_spec(data, n_grid=cfg.fit.n_grid)
-        det_fn = lambda s: pop_deterministics(s, data, n_grid=cfg.fit.n_grid)  # noqa: E731
-    else:
-        raise ValueError(f"unknown mass_family {family!r} (expected 'bump' or 'plpeak')")
+    try:
+        fam = MASS_FAMILIES[family]
+    except KeyError:
+        raise ValueError(
+            f"unknown mass_family {family!r} (expected one of {sorted(MASS_FAMILIES)})"
+        ) from None
+    spec = fam.pop_spec(data, n_grid=cfg.fit.n_grid)
+    det_fn = lambda s: fam.pop_det(s, data, n_grid=cfg.fit.n_grid)  # noqa: E731
     nuts_cfg = NutsConfig(
         max_depth=cfg.fit.max_depth,
         target_accept=cfg.fit.target_accept,
@@ -185,8 +179,7 @@ def run_pop_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_out=No
         res.posterior, res.sample_stats, coords=COORDS,
         attrs={"model": "pop", "family": family},
     )
-    default_out = "trace.h5" if family == "bump" else f"trace_{family}.h5"
-    save_trace(trace_out or cfg.paths.path(default_out), trace)
+    save_trace(trace_out or cfg.paths.path(fam.trace_name), trace)
     return res
 
 
@@ -201,11 +194,8 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
 
     from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
     from bumpcosmology_tpu.inference.likelihoods import (
+        MASS_FAMILIES,
         make_pop_cosmo_data,
-        plpeak_cosmo_deterministics,
-        plpeak_cosmo_model_spec,
-        pop_cosmo_deterministics,
-        pop_cosmo_model_spec,
     )
     from bumpcosmology_tpu.inference.nuts import NutsConfig
     from bumpcosmology_tpu.inference.sampler import fit
@@ -230,18 +220,16 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         ndraw=float(sel["ndraw"].iloc[0]),
     )
     family = cfg.fit.mass_family
-    if family == "plpeak":
-        spec = plpeak_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
-        det_fn = lambda s: plpeak_cosmo_deterministics(  # noqa: E731
-            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
-        )
-    elif family == "bump":
-        spec = pop_cosmo_model_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
-        det_fn = lambda s: pop_cosmo_deterministics(  # noqa: E731
-            s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
-        )
-    else:
-        raise ValueError(f"unknown mass_family {family!r} (expected 'bump' or 'plpeak')")
+    try:
+        fam = MASS_FAMILIES[family]
+    except KeyError:
+        raise ValueError(
+            f"unknown mass_family {family!r} (expected one of {sorted(MASS_FAMILIES)})"
+        ) from None
+    spec = fam.cosmo_spec(data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
+    det_fn = lambda s: fam.cosmo_det(  # noqa: E731
+        s, data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
+    )
     nuts_cfg = NutsConfig(
         max_depth=cfg.fit.max_depth,
         target_accept=cfg.fit.target_accept,
@@ -261,8 +249,7 @@ def run_pop_cosmo_fit(cfg: PipelineConfig, pe_table=None, sel_table=None, trace_
         res.posterior, res.sample_stats, coords=COORDS,
         attrs={"model": "pop_cosmo", "family": family},
     )
-    default_out = "trace_cosmo.h5" if family == "bump" else f"trace_cosmo_{family}.h5"
-    save_trace(trace_out or cfg.paths.path(default_out), trace)
+    save_trace(trace_out or cfg.paths.path(fam.cosmo_trace_name), trace)
     return res
 
 
@@ -402,18 +389,21 @@ def _stage_sbc(cfg: PipelineConfig):
         obs = obs.iloc[keep].reset_index(drop=True)
         n_total = n_total * frac
         print(f"[sbc] detected pool thinned to {len(obs)} (Ndraw_eff {n_total:.0f})")
-    if c.model in ("pop_cosmo", "plpeak_cosmo"):
+    if c.model in ("pop_cosmo", "plpeak_cosmo", "brokenpl_cosmo"):
         from bumpcosmology_tpu.inference.calibration import (
+            make_brokenpl_cosmo_sbc_spec_builder,
             make_mock_pop_cosmo_simulator_fresh,
             make_plpeak_cosmo_sbc_spec_builder,
         )
         from bumpcosmology_tpu.inference.likelihoods import (
+            brokenpl_cosmo_loglike,
             dl_bounds_of,
             plpeak_cosmo_loglike,
             pop_cosmo_loglike,
         )
 
-        family = "plpeak" if c.model == "plpeak_cosmo" else "bump"
+        family = {"pop_cosmo": "bump", "plpeak_cosmo": "plpeak",
+                  "brokenpl_cosmo": "brokenpl"}[c.model]
         # the joint model needs a larger selection set or its SBC ranks are
         # corrupted by selection-MC pseudo-modes (docs/DESIGN.md §5a)
         if c.fresh_noise:
@@ -428,7 +418,7 @@ def _stage_sbc(cfg: PipelineConfig):
             )
         else:
             if family != "bump":
-                raise ValueError("plpeak_cosmo SBC requires fresh_noise=True")
+                raise ValueError(f"{c.model} SBC requires fresh_noise=True")
             simulate = make_mock_pop_cosmo_simulator(
                 obs, n_total_injections=n_total, nobs=c.nobs, nsamp=c.nsamp,
                 nsel=max(c.nsel, 2048), pe_bank_size=c.pe_bank_size, seed=c.seed + 2,
@@ -436,6 +426,11 @@ def _stage_sbc(cfg: PipelineConfig):
         if family == "plpeak":
             builder = make_plpeak_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
             loglike_fn = plpeak_cosmo_loglike
+        elif family == "brokenpl":
+            builder = make_brokenpl_cosmo_sbc_spec_builder(
+                n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z
+            )
+            loglike_fn = brokenpl_cosmo_loglike
         else:
             builder = make_pop_cosmo_sbc_spec_builder(n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z)
             loglike_fn = pop_cosmo_loglike
@@ -461,7 +456,8 @@ def _stage_sbc(cfg: PipelineConfig):
 
     else:
         raise ValueError(
-            f"unknown sbc model {c.model!r}; use 'pop', 'pop_cosmo' or 'plpeak_cosmo'"
+            f"unknown sbc model {c.model!r}; use 'pop', 'pop_cosmo', "
+            "'plpeak_cosmo' or 'brokenpl_cosmo'"
         )
     from bumpcosmology_tpu.inference.nuts import NutsConfig
 
@@ -530,6 +526,16 @@ def _score_check_sites0(model: str) -> dict:
             lam_peak=mp.lam_peak, mu_m=mp.mu_m, sigma_m=mp.sigma_m,
             delta_m=mp.delta_m,
         )
+    elif model == "brokenpl_cosmo":
+        from bumpcosmology_tpu.models.brokenpl import DEFAULT_BROKENPL_POPULATION
+
+        mp = DEFAULT_BROKENPL_POPULATION.mass
+        # the campaign draws primaries on m1 >= 5, so the score-check truth
+        # uses mmin=5 (same support slice as the SBC spec builders)
+        sites.update(
+            alpha1=mp.alpha1, alpha2=mp.alpha2, bfrac=mp.bfrac, beta_q=mp.beta_q,
+            mmin=max(float(mp.mmin), 5.0), mmax=mp.mmax, delta_m=mp.delta_m,
+        )
     else:
         mp = DEFAULT_POPULATION.mass
         sites.update(
@@ -561,16 +567,16 @@ def _stage_score_check(cfg: PipelineConfig):
     from bumpcosmology_tpu.mock import draw_injection_campaign
 
     c = cfg.score
-    if c.model not in ("pop_cosmo", "plpeak_cosmo"):
+    if c.model not in ("pop_cosmo", "plpeak_cosmo", "brokenpl_cosmo"):
         raise ValueError(
-            f"unknown score_check model {c.model!r}; use 'pop_cosmo' or 'plpeak_cosmo'"
+            f"unknown score_check model {c.model!r}; use 'pop_cosmo', "
+            "'plpeak_cosmo' or 'brokenpl_cosmo'"
         )
-    family = "plpeak" if c.model == "plpeak_cosmo" else "bump"
-    build = None
-    if family == "plpeak":
-        from bumpcosmology_tpu.inference.likelihoods import _build_plpeak
+    family = {"pop_cosmo": "bump", "plpeak_cosmo": "plpeak",
+              "brokenpl_cosmo": "brokenpl"}[c.model]
+    from bumpcosmology_tpu.inference.likelihoods import MASS_FAMILIES
 
-        build = _build_plpeak
+    build = MASS_FAMILIES[family].build
 
     inj = draw_injection_campaign(
         ndraw=c.campaign_ndraw, seed=c.seed, snr_chunk=cfg.mock.snr_chunk
@@ -742,6 +748,8 @@ def _stage_compare(cfg: PipelineConfig):
         lambda s: pop_pointwise_loglike(s, pop_data, cfg.fit.n_grid),
         pop_post, list(pop_spec.priors), max_draws=c.max_draws, batch=c.batch,
     )
+    specs = {"pop": pop_spec}
+    posts = {"pop": pop_post}
 
     # --- pop_cosmo (detector frame; same conversion as run_pop_cosmo_fit) ---
     for df, wt_col in ((pe, "wt"), (sel, "pdraw")):
@@ -766,41 +774,49 @@ def _stage_compare(cfg: PipelineConfig):
         ),
         cosmo_post, list(cosmo_spec.priors), max_draws=c.max_draws, batch=c.batch,
     )
+    specs["pop_cosmo"] = cosmo_spec
+    posts["pop_cosmo"] = cosmo_post
 
     matrices = {"pop": ll_pop, "pop_cosmo": ll_cosmo}
 
-    # Optional second-family traces on the same catalog (run_pop_fit /
-    # run_pop_cosmo_fit with mass_family="plpeak"): include them in the
-    # ranking when present, so the physical bump model is compared against
-    # the phenomenological GWTC-3 fiducial head-to-head.
-    from bumpcosmology_tpu.inference.likelihoods import (
-        PLPEAK_COSMO_PRIORS,
-        PLPEAK_PRIORS,
-        _build_plpeak,
-    )
+    # Optional other-family traces on the same catalog (run_pop_fit /
+    # run_pop_cosmo_fit with mass_family="plpeak"/"brokenpl"): include them
+    # in the ranking when present, so the physical bump model is compared
+    # against the phenomenological LVK fiducials head-to-head.
+    from bumpcosmology_tpu.inference.likelihoods import MASS_FAMILIES
 
-    for name, fname, fn, priors in (
-        (
-            "pop_plpeak",
-            "trace_plpeak.h5",
-            lambda s: pop_pointwise_loglike(s, pop_data, cfg.fit.n_grid, build=_build_plpeak),
-            PLPEAK_PRIORS,
-        ),
-        (
-            "pop_cosmo_plpeak",
-            "trace_cosmo_plpeak.h5",
-            lambda s: pop_cosmo_pointwise_loglike(
-                s, cosmo_data, cfg.fit.n_grid, cfg.fit.n_z, bounds, build=_build_plpeak
+    for famname, fam in MASS_FAMILIES.items():
+        if famname == "bump":
+            continue
+        candidates = (
+            (
+                f"pop_{famname}",
+                fam.trace_name,
+                lambda s, b=fam.build: pop_pointwise_loglike(
+                    s, pop_data, cfg.fit.n_grid, build=b
+                ),
+                fam.pop_priors,
+                lambda: fam.pop_spec(pop_data, n_grid=cfg.fit.n_grid),
             ),
-            PLPEAK_COSMO_PRIORS,
-        ),
-    ):
-        path = cfg.paths.path(fname)
-        if Path(path).exists():
-            post = load_trace(path).posterior
-            matrices[name] = pointwise_matrix(
-                fn, post, list(priors), max_draws=c.max_draws, batch=c.batch
-            )
+            (
+                f"pop_cosmo_{famname}",
+                fam.cosmo_trace_name,
+                lambda s, b=fam.build: pop_cosmo_pointwise_loglike(
+                    s, cosmo_data, cfg.fit.n_grid, cfg.fit.n_z, bounds, build=b
+                ),
+                fam.cosmo_priors,
+                lambda: fam.cosmo_spec(cosmo_data, n_grid=cfg.fit.n_grid, n_z=cfg.fit.n_z),
+            ),
+        )
+        for name, fname, fn, priors, make_spec in candidates:
+            path = cfg.paths.path(fname)
+            if Path(path).exists():
+                post = load_trace(path).posterior
+                matrices[name] = pointwise_matrix(
+                    fn, post, list(priors), max_draws=c.max_draws, batch=c.batch
+                )
+                posts[name] = post
+                specs[name] = make_spec()
 
     loos = {k: psis_loo(v) for k, v in matrices.items()}
     waics = {k: waic(v) for k, v in matrices.items()}
@@ -811,9 +827,31 @@ def _stage_compare(cfg: PipelineConfig):
         if bad:
             print(f"[compare] {name}: Pareto k̂ > 0.7 (PSIS unreliable) for {bad}")
 
+    # Fully Bayesian complement to the predictive ranking: bridge-sampling
+    # marginal likelihoods → log10 Bayes factors (the event marginals are
+    # frame-invariant — pdraw carries the Jacobian — so log Z is comparable
+    # across the source-frame and detector-frame models).
+    from bumpcosmology_tpu.inference.evidence import (
+        bayes_factor_table,
+        log_evidence_bridge,
+    )
+
+    evidences = {}
+    for name, spec in specs.items():
+        try:
+            evidences[name] = log_evidence_bridge(
+                spec, posts[name], max_draws=c.max_draws, batch=c.batch
+            )
+        except (FloatingPointError, ValueError) as exc:
+            print(f"[compare] evidence for {name} failed: {exc}")
+    bf_table = bayes_factor_table(evidences) if evidences else ""
+    if bf_table:
+        print("[compare] marginal likelihoods (bridge sampling)\n" + bf_table)
+
     out = cfg.paths.path("model_compare.h5")
     with h5py.File(out, "w") as f:
         f.attrs["table"] = table
+        f.attrs["bf_table"] = bf_table
         f.attrs["best_model"] = max(loos, key=lambda k: loos[k].elpd)
         f.create_dataset("event", data=np.array([str(n) for n in names], dtype="S64"))
         for name in matrices:
@@ -827,6 +865,10 @@ def _stage_compare(cfg: PipelineConfig):
                 waic_elpd=w.elpd, waic_se=w.se, p_waic=w.p_waic,
                 n_draws=matrices[name].shape[0],
             )
+            if name in evidences:
+                e = evidences[name]
+                g.attrs.update(log_z=e.log_z, log_z_se=e.se)
+                g.create_dataset("log_z_blocks", data=e.log_z_blocks)
     return table
 
 
@@ -845,11 +887,7 @@ def _stage_ppc(cfg: PipelineConfig):
 
     from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
     from bumpcosmology_tpu.inference.likelihoods import (
-        PLPEAK_COSMO_PRIORS,
-        PLPEAK_PRIORS,
-        POP_COSMO_PRIORS,
-        POP_PRIORS,
-        _build_plpeak,
+        MASS_FAMILIES,
         make_pop_cosmo_data,
         make_pop_data,
     )
@@ -879,13 +917,16 @@ def _stage_ppc(cfg: PipelineConfig):
         sel["pdraw_cosmo"].to_numpy(), ndraw=float(sel["ndraw"].iloc[0]),
     )
 
-    candidates = (
-        ("pop", "trace.h5", pop_data, None, POP_PRIORS),
-        ("pop_cosmo", "trace_cosmo.h5", cosmo_data, None, POP_COSMO_PRIORS),
-        ("pop_plpeak", "trace_plpeak.h5", pop_data, _build_plpeak, PLPEAK_PRIORS),
-        ("pop_cosmo_plpeak", "trace_cosmo_plpeak.h5", cosmo_data, _build_plpeak,
-         PLPEAK_COSMO_PRIORS),
-    )
+    candidates = []
+    for famname, fam in MASS_FAMILIES.items():
+        suffix = "" if famname == "bump" else f"_{famname}"
+        candidates.append(
+            (f"pop{suffix}", fam.trace_name, pop_data, fam.build, fam.pop_priors)
+        )
+        candidates.append(
+            (f"pop_cosmo{suffix}", fam.cosmo_trace_name, cosmo_data, fam.build,
+             fam.cosmo_priors)
+        )
     out = cfg.paths.path("ppc.h5")
     n_done = 0
     with h5py.File(out, "w") as f:

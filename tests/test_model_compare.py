@@ -117,30 +117,32 @@ def test_pop_cosmo_pointwise_sums_to_total():
 
 
 def test_pointwise_matrix_thinning_and_padding():
-    from bumpcosmology_tpu.inference.likelihoods import pop_model_spec
-    from bumpcosmology_tpu.inference.model import constrain, prior_sample
-    from bumpcosmology_tpu.testing import synthetic_pop_data
+    """Thinning/padding/batching mechanics on a synthetic pointwise fn (the
+    real-likelihood integration is covered by
+    ``test_pop_pointwise_sums_to_total``; a cheap fn keeps this off the
+    compile-bound path)."""
+    rng = np.random.default_rng(2)
+    posterior = {"x": rng.normal(size=(2, 5)), "y": rng.normal(size=(2, 5))}
+    names = ["x", "y"]
 
-    data = synthetic_pop_data(nobs=4, nsamp=8, nsel=32, seed=5)
-    spec = pop_model_spec(data, n_grid=64)
-    keys = jax.random.split(jax.random.PRNGKey(2), 10)
-    thetas = jax.vmap(lambda k: prior_sample(spec, k))(keys)
-    sites = constrain(spec, thetas)  # (10,) per site
-    posterior = {k: np.asarray(v).reshape(2, 5) for k, v in sites.items()}
+    def pointwise(s):
+        # (nobs=4,) distinct per-event values, deterministic in the sites
+        return jnp.stack([s["x"], 2.0 * s["x"], s["y"], s["x"] - s["y"]])
 
-    names = list(spec.priors)
-    ll = pointwise_matrix(
-        lambda s: pop_pointwise_loglike(s, data, n_grid=64),
-        posterior, names, max_draws=7, batch=3,
-    )
+    ll = pointwise_matrix(pointwise, posterior, names, max_draws=7, batch=3)
     assert ll.shape == (7, 4)
     assert np.isfinite(ll).all()
 
-    # direct eval of one retained draw must match its matrix row (thinning
-    # keeps endpoints: row 0 is flat draw 0)
-    one = {k: jnp.asarray(np.asarray(posterior[k]).reshape(-1)[0]) for k in names}
+    # thinning keeps endpoints: row 0 is flat draw 0, row -1 is flat draw -1
+    flat = {k: np.asarray(v).reshape(-1) for k, v in posterior.items()}
     np.testing.assert_allclose(
-        ll[0], np.asarray(pop_pointwise_loglike(one, data, n_grid=64)), rtol=1e-5
+        ll[0], [flat["x"][0], 2 * flat["x"][0], flat["y"][0], flat["x"][0] - flat["y"][0]],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        ll[-1],
+        [flat["x"][-1], 2 * flat["x"][-1], flat["y"][-1], flat["x"][-1] - flat["y"][-1]],
+        rtol=1e-6,
     )
 
 

@@ -205,6 +205,7 @@ def test_finite_prior_init_redraws():
     assert np.all(np.asarray(theta)[:, 0] <= 0.0)
 
 
+@pytest.mark.slow
 def test_chees_hmc_gaussian_recovery():
     """ChEES-HMC: correct moments + adapted trajectory on a correlated Gaussian."""
     from bumpcosmology_tpu.inference.chees import CheesConfig, run_chees

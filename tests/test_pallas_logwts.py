@@ -78,6 +78,7 @@ def test_pallas_logwts_2d_shape_and_padding():
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_pallas_logwts_out_of_support_is_neg_inf():
     pop, det = _tables(DEFAULT_POPULATION, CosmoParams(h=0.7, Om=0.3, w=-1.0))
     a, q, dl, log_pdraw = _queries(2, 8, det)

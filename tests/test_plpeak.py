@@ -295,6 +295,13 @@ def test_plpeak_fit_smoke_and_compare_integration():
     loo = psis_loo(ll)
     assert np.isfinite(loo.elpd)
 
+    # bridge-sampling evidence on the same trace: a real 12-site hierarchical
+    # spec end-to-end (the analytic calibration lives in tests/test_evidence.py)
+    from bumpcosmology_tpu.inference.evidence import log_evidence_bridge
+
+    ev = log_evidence_bridge(spec, res.posterior, max_draws=200)
+    assert ev.converged and np.isfinite(ev.log_z)
+
 
 def test_dndm_fitted_overlays_plpeak_band(tmp_path):
     """dNdm_fitted overlays the PLPeak band when trace_plpeak.h5 sits next
@@ -324,11 +331,13 @@ def test_dndm_fitted_overlays_plpeak_band(tmp_path):
     assert p_both.exists() and p_both.stat().st_size > size_single  # extra band drawn
 
 
+@pytest.mark.slow
 def test_plpeak_fresh_simulator_and_sbc_spec():
     """The family-generalized fresh-noise simulator draws a valid PLPeak
     catalog and the SBC spec builder (mmin restricted to the campaign's
     m1 >= 5 support) yields a finite differentiable potential at its own
-    prior draws — the fast-tier guard on the plpeak_cosmo SBC path."""
+    prior draws — the nightly guard on the plpeak_cosmo SBC path (slow
+    tier: the 24k-draw campaign + potential-grad compile dominate)."""
     from bumpcosmology_tpu.inference.calibration import (
         make_mock_pop_cosmo_simulator_fresh,
         make_plpeak_cosmo_sbc_spec_builder,

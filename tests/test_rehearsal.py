@@ -162,6 +162,10 @@ def test_real_data_pipeline_journey(tmp_path):
             assert np.isfinite(f[model].attrs["elpd"])
             assert f[model].attrs["n_draws"] == 64
         assert "pop" in f.attrs["table"] and "pop_cosmo" in f.attrs["table"]
+        # bridge-sampling marginal likelihoods ride the same pass
+        assert "pop" in f.attrs["bf_table"]
+        for model in ("pop", "pop_cosmo"):
+            assert np.isfinite(f[model].attrs["log_z"])
 
     # a second mass-model family on the same catalog: the PLPeak fit writes
     # trace_plpeak.h5 and the compare stage picks it up automatically
@@ -182,6 +186,7 @@ def test_real_data_pipeline_journey(tmp_path):
         assert f["pop_plpeak"]["elpd_i"].shape == (nobs,)
         assert np.isfinite(f["pop_plpeak"].attrs["elpd"])
         assert "pop_plpeak" in f.attrs["table"]
+        assert np.isfinite(f["pop_plpeak"].attrs["log_z"])
 
 
 @pytest.mark.slow

@@ -289,6 +289,7 @@ def test_export_netcdf_structure(tmp_path):
             assert any(x.name.endswith("/" + dim) for x in s.dims[ax].values())
 
 
+@pytest.mark.slow
 def test_report_stage_compiles_manuscript_analog(tmp_path):
     """The report stage (manuscript-layer analog) produces ms.tex, ms.md and
     a compiled report.pdf from whatever artifacts exist."""
