@@ -91,16 +91,25 @@ def _bridge_iterate(l1: np.ndarray, l2: np.ndarray, max_iter: int, tol: float):
     *posterior* draws.  Returns (log_z, n_iter, converged).
     """
     n1, n2 = l1.size, l2.size
-    s1 = n1 / (n1 + n2)
-    s2 = n2 / (n1 + n2)
+    # Optimal-bridge weights (Gronau et al. 2017 eq. 13): the density-ratio
+    # terms carry the *posterior*-draw fraction, r carries the *proposal*
+    # fraction.  (With n1 == n2 — the default — the two coincide.)
+    s_ratio = n2 / (n1 + n2)
+    s_r = n1 / (n1 + n2)
     lstar = float(np.median(l2))  # shift so exp() stays in range
     e1 = np.exp(l1 - lstar)
     e2 = np.exp(l2 - lstar)
+    if not np.any(e1 > 0.0):
+        raise FloatingPointError(
+            "bridge sampling: every proposal draw fell outside the "
+            "likelihood support — the Gaussian proposal is badly matched "
+            "to the posterior (heavy tails vs bounded support?)"
+        )
     r = 1.0  # r estimates Z·e^{−lstar}
     logr = 0.0
     for it in range(1, max_iter + 1):
-        num = np.mean(e1 / (s1 * e1 + s2 * r))
-        den = np.mean(1.0 / (s1 * e2 + s2 * r))
+        num = np.mean(e1 / (s_ratio * e1 + s_r * r))
+        den = np.mean(1.0 / (s_ratio * e2 + s_r * r))
         r_new = num / den
         delta = abs(math.log(r_new) - logr)
         r, logr = r_new, math.log(r_new)
@@ -141,9 +150,14 @@ def log_evidence_bridge(
         unconstrain(spec, {k: jnp.asarray(v) for k, v in flat.items()}), dtype=np.float64
     )  # (total, d)
 
-    # Interleaved split: even draws fit the proposal, odd draws estimate.
-    # (Interleaving keeps both halves representative of every chain segment.)
-    fit_half, est_half = theta[0::2], theta[1::2]
+    # Contiguous first-half/second-half split (Gronau et al. §4: the reuse
+    # bias guard needs the two halves as decorrelated as possible).  The flat
+    # order is chain-major, so with multiple chains this fits the proposal on
+    # the first half of the *chains* and estimates on the rest — independent
+    # chains, the cleanest version of the guard; with one chain it degrades
+    # to first/second half of the draws.
+    half = theta.shape[0] // 2
+    fit_half, est_half = theta[:half], theta[half:]
     n2 = est_half.shape[0]
     n1 = int(n_proposal) if n_proposal is not None else n2
 
@@ -173,17 +187,33 @@ def log_evidence_bridge(
 
     log_z, n_iter, converged = _bridge_iterate(l1, l2, max_iter, tol)
 
-    # Block-pair standard error.
+    # Block-pair standard error.  Scale the block count down with the
+    # estimation-half size so short traces still get an error bar (>= 8
+    # draws per block); below 2 viable blocks no spread exists — warn
+    # rather than silently persisting NaN.
+    n_blocks_eff = max(0, min(n_blocks, n2 // 8, n1 // 8))
     blocks = []
-    for b in range(n_blocks):
-        p_blk = l2[b * n2 // n_blocks : (b + 1) * n2 // n_blocks]
-        g_blk = l1[b * n1 // n_blocks : (b + 1) * n1 // n_blocks]
-        if p_blk.size < 8 or g_blk.size < 8:
-            continue
-        lz, _, _ = _bridge_iterate(g_blk, p_blk, max_iter, tol)
+    for b in range(n_blocks_eff):
+        p_blk = l2[b * n2 // n_blocks_eff : (b + 1) * n2 // n_blocks_eff]
+        g_blk = l1[b * n1 // n_blocks_eff : (b + 1) * n1 // n_blocks_eff]
+        try:
+            lz, _, _ = _bridge_iterate(g_blk, p_blk, max_iter, tol)
+        except FloatingPointError:
+            continue  # a block whose proposal slice has no in-support draw
         blocks.append(lz)
     blocks = np.asarray(blocks)
-    se = float(np.std(blocks, ddof=1) / math.sqrt(blocks.size)) if blocks.size > 1 else float("nan")
+    if blocks.size > 1:
+        se = float(np.std(blocks, ddof=1) / math.sqrt(blocks.size))
+    else:
+        import warnings
+
+        warnings.warn(
+            f"bridge sampling: too few draws ({n2} estimation-half) for a "
+            "block standard error — log_z_se is NaN",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        se = float("nan")
 
     return EvidenceResult(
         log_z=float(log_z),

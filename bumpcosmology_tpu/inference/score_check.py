@@ -1,12 +1,17 @@
 """Score-identity check: E_{data|θ₀}[∇_θ log L̂(θ₀; data)] = 0.
 
 If catalogs are really drawn from the model at θ₀, the expected score of the
-fitted log-likelihood at θ₀ vanishes term by term — for the per-event
-marginal AND the selection factor separately.  A significantly nonzero mean
-score is a *generative/model mismatch* (a simulator channel the likelihood
-omits, a support clip, a biased estimator), attributed to a specific
-hyperparameter direction and likelihood term, measured in minutes without a
-single fit.
+fitted log-likelihood at θ₀ vanishes — for the TOTAL (event + selection)
+score only.  The per-event marginal and the selection factor separately have
+equal-and-opposite *nonzero* expectations (each term alone is not a
+normalized likelihood in θ), so the per-term rows this module reports are
+attribution aids — which term moved when the total breaks — NOT pass
+criteria; the stage gates on the TOTAL |z| alone (per-term z of O(10³) with
+TOTAL ≤ 2 is the healthy signature, ``scratch/score_arms.log``).  A
+significantly nonzero TOTAL mean score is a *generative/model mismatch* (a
+simulator channel the likelihood omits, a support clip, a biased estimator),
+attributed to a specific hyperparameter direction, measured in minutes
+without a single fit.
 
 This is the instrument that found the round-3 λ root cause: without the
 observed-SNR channel in the PE banks the event-term λ score sat at z = +10.4

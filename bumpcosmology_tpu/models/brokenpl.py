@@ -43,6 +43,7 @@ from bumpcosmology_tpu.models.plpeak import (
     M_TAB_HI,
     M_TAB_LO,
     QREF,
+    WALL_SLOPE,
     _log_nq_grid,
     _log_pl_norm_inv,
     log_planck_taper,
@@ -125,7 +126,15 @@ def log_pm1_brokenpl(p: BrokenPLMassParams, m1):
         - log_norm
         + log_planck_taper(m1, p.mmin, p.delta_m)
     )
-    return jnp.where((m1 <= p.mmin) | (m1 >= jnp.minimum(p.mmax, M_TAB_HI)), -jnp.inf, out)
+    # Soft walls (see models/plpeak.py WALL_SLOPE): the taper's soft wall
+    # already handles m1 ≤ mmin; the mmax truncation and the q-table edge
+    # are linear log-density ramps instead of −∞, so the likelihood stays
+    # finite with informative gradients at every hyperparameter draw.
+    return (
+        out
+        - WALL_SLOPE * jnp.maximum(m1 - p.mmax, 0.0)
+        - WALL_SLOPE * jnp.maximum(m1 - (M_TAB_HI - 10.0), 0.0)
+    )
 
 
 class BrokenPLIntensity(NamedTuple):

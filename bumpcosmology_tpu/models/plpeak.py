@@ -36,6 +36,19 @@ TPU-first design notes
   and gradient-stable through the α → 1 singularity in float32.
 * The Planck taper is evaluated with the double-``where`` guard so reverse-mode
   gradients stay NaN-free at the branch edges (a JAX ``where``-grad hazard).
+* **Soft walls** (round 4): the model's hard supports (taper zero below
+  ``mmin``, power-law truncation at ``mmax``, table edge) are continued as
+  steep *linear* log-density ramps (slope ``WALL_SLOPE`` = 25 nats/Msun from
+  a ≈ −49-nat anchor) instead of −∞.  The likelihood is then finite with
+  informative gradients everywhere — no −∞ event marginals for prior draws
+  whose support excludes an observed event, no NaN-poisoned NUTS trees, no
+  divergence cliffs at the walls (round-3 measurement of the hard-wall
+  version: 733/1600 divergences, R̂ = 73, all-14-site SBC failure,
+  ``scratch/r3b_plpeak_tpu.log``).  The spurious probability mass beyond a
+  wall is ≤ e⁻⁴⁹/25 ≈ 10⁻²³ of a component — orders of magnitude below
+  MC noise — and the SBC generator uses the *same* density (the simulator
+  weights events by ``log_dndmdqdv``), so calibration is exactly
+  self-consistent.
 """
 from __future__ import annotations
 
@@ -116,25 +129,36 @@ DEFAULT_PLPEAK_POPULATION = PLPeakPopulationParams(
 )
 
 
+# Soft-wall slope [nats/Msun]: linear log-density ramp replacing every hard
+# −∞ support edge.  Steep enough that 2 Msun past a wall costs 50 nats on top
+# of the ≈ −49-nat anchor (total mass beyond a wall ≲ 10⁻²³), shallow enough
+# that the restoring gradient is integrable by NUTS at adapted step sizes
+# (a hard wall gives NaN gradients → rejected trees → divergences).
+WALL_SLOPE = 25.0
+
+
 def log_planck_taper(m, mmin, delta_m):
-    """log S(m): the Planck-taper turn-on, 0 below ``mmin``, 1 above
-    ``mmin + delta_m``, S = 1/(e^f + 1) with f = δ/x + δ/(x-δ), x = m-mmin,
-    in between.
+    """log S(m): the Planck-taper turn-on, ≈ 0 density below ``mmin``
+    (soft wall), 1 above ``mmin + delta_m``, S = 1/(e^f + 1) with
+    f = δ/x + δ/(x-δ), x = m-mmin, in between.
 
     Gradient-safe at the branch edges: the interior expression is evaluated
-    at a clamped-to-midpoint x wherever the branch is not taken, so the
-    unused branch never produces inf·0 NaNs in reverse mode.  At δ_m = 0 the
-    taper degenerates to a step at ``mmin`` (S = 1 for m > mmin).
+    at an x clamped to [0.02δ, 0.98δ], so it never produces inf·0 NaNs in
+    reverse mode.  Below the clamp the exact curve (≈ −49 nats at 0.02δ) is
+    continued as a linear ramp of slope ``WALL_SLOPE`` — finite, steeply
+    decreasing log density instead of the exact −∞ (see module docstring;
+    the truncated curve at 0.98δ is within e⁻⁴⁹ of the exact taper).  At
+    δ_m = 0 the taper degenerates to a soft step at ``mmin``.
     """
     m = jnp.asarray(m)
     x = m - mmin
-    inside = (x > 0.0) & (x < delta_m)
     dm_safe = jnp.maximum(delta_m, 1e-6)
-    x_safe = jnp.where(inside, x, 0.5 * dm_safe)
-    f = delta_m / x_safe + delta_m / (x_safe - dm_safe)
-    f = jnp.clip(f, -80.0, 80.0)
+    x_lo = 0.02 * dm_safe
+    x_in = jnp.clip(x, x_lo, 0.98 * dm_safe)
+    f = jnp.clip(dm_safe / x_in + dm_safe / (x_in - dm_safe), -80.0, 80.0)
     mid = -jax.nn.softplus(f)
-    return jnp.where(x <= 0.0, -jnp.inf, jnp.where(x >= delta_m, 0.0, mid))
+    below = mid - WALL_SLOPE * jnp.maximum(x_lo - x, 0.0)
+    return jnp.where(x >= dm_safe, 0.0, below)
 
 
 def _log_pl_norm_inv(alpha, mmin, mmax):
@@ -165,7 +189,10 @@ def log_pm1_plpeak(p: PLPeakMassParams, m1):
         - p.alpha * jnp.log(m1)
         - _log_pl_norm_inv(p.alpha, p.mmin, p.mmax)
     )
-    log_pl = jnp.where(m1 > p.mmax, -jnp.inf, log_pl)
+    # soft mmax truncation of the power-law component (see WALL_SLOPE): the
+    # extra component mass above mmax is ≤ pdf(mmax)/WALL_SLOPE ≈ 10⁻²³,
+    # so the hard-truncated normalization stays exact to float precision
+    log_pl = log_pl - WALL_SLOPE * jnp.maximum(m1 - p.mmax, 0.0)
     log_peak = (
         jnp.log(p.lam_peak)
         - 0.5 * jnp.square((m1 - p.mu_m) / p.sigma_m)
@@ -173,7 +200,9 @@ def log_pm1_plpeak(p: PLPeakMassParams, m1):
         - 0.5 * math.log(2.0 * math.pi)
     )
     out = jnp.logaddexp(log_pl, log_peak) + log_planck_taper(m1, p.mmin, p.delta_m)
-    return jnp.where((m1 <= p.mmin) | (m1 >= M_TAB_HI), -jnp.inf, out)
+    # soft table-edge wall well inside M_TAB_HI so the q-norm table's
+    # constant extrapolation is never consulted where density matters
+    return out - WALL_SLOPE * jnp.maximum(m1 - (M_TAB_HI - 10.0), 0.0)
 
 
 class PLPeakIntensity(NamedTuple):

@@ -842,7 +842,10 @@ def _stage_compare(cfg: PipelineConfig):
             evidences[name] = log_evidence_bridge(
                 spec, posts[name], max_draws=c.max_draws, batch=c.batch
             )
-        except (FloatingPointError, ValueError) as exc:
+        except (FloatingPointError, ValueError, np.linalg.LinAlgError) as exc:
+            # LinAlgError: NaN draws in a trace make the proposal covariance
+            # non-Cholesky-able; degrade to "no evidence for this model"
+            # rather than aborting the stage after LOO/WAIC already ran.
             print(f"[compare] evidence for {name} failed: {exc}")
     bf_table = bayes_factor_table(evidences) if evidences else ""
     if bf_table:

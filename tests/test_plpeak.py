@@ -57,11 +57,16 @@ def test_planck_taper_monotone_and_edges():
     assert np.all(np.diff(s) >= 0)  # f32 saturates at the extreme edges
     interior = (s > 1e-6) & (s < 1.0 - 1e-6)
     assert np.all(np.diff(s[interior]) > 0)
-    assert float(log_planck_taper(jnp.asarray(4.999), 5.0, 4.9)) == -np.inf
+    # below mmin: finite soft wall (≈ −49-nat anchor + WALL_SLOPE ramp), not −inf
+    below = float(log_planck_taper(jnp.asarray(4.999), 5.0, 4.9))
+    assert np.isfinite(below) and below < -40.0
     assert float(log_planck_taper(jnp.asarray(9.9), 5.0, 4.9)) == pytest.approx(0.0, abs=1e-6)
-    # delta_m = 0 degenerates to a step at mmin
+    # delta_m = 0 degenerates to a soft step at mmin
     assert float(log_planck_taper(jnp.asarray(5.01), 5.0, 0.0)) == 0.0
-    assert float(log_planck_taper(jnp.asarray(4.99), 5.0, 0.0)) == -np.inf
+    below0 = float(log_planck_taper(jnp.asarray(4.99), 5.0, 0.0))
+    assert np.isfinite(below0) and below0 < -40.0
+    # the soft wall keeps decreasing as m drops (restoring gradient for NUTS)
+    assert float(log_planck_taper(jnp.asarray(3.0), 5.0, 4.9)) < below - 20.0
 
 
 def test_planck_taper_gradients_finite_at_edges():
@@ -90,12 +95,12 @@ def test_pm1_power_law_limit():
     norm = quad(lambda x: x**-2.3, 5.0, 60.0)[0]
     want = -2.3 * np.log(m) - np.log(norm)
     np.testing.assert_allclose(got, want, rtol=2e-5)
-    # mmax truncates the POWER-LAW component only; with the peak switched
-    # off entirely the density is exactly zero above mmax (the Gaussian peak
-    # is deliberately NOT truncated there, as in GWTC-3)
-    p0 = p._replace(lam_peak=0.0)
-    assert float(log_pm1_plpeak(p0, jnp.asarray(61.0))) == -np.inf
-    assert float(log_pm1_plpeak(p, jnp.asarray(61.0))) < -100.0
+    # mmax soft-truncates the POWER-LAW component only (WALL_SLOPE ramp, not
+    # −inf; the Gaussian peak is deliberately NOT truncated there, as in
+    # GWTC-3): 1 Msun above mmax costs ≈ WALL_SLOPE nats on the PL piece
+    in_support = float(log_pm1_plpeak(p, jnp.asarray(59.0)))
+    above = float(log_pm1_plpeak(p, jnp.asarray(61.0)))
+    assert np.isfinite(above) and above < in_support - 20.0
 
 
 def test_pm1_peak_limit():
@@ -168,12 +173,19 @@ def test_intensity_factorizes():
 
 
 def test_intensity_support_cuts():
+    """Outside the model support the log intensity is a steep finite soft
+    wall (gradient-informative for NUTS), many tens of nats below any
+    in-support value — never −inf/NaN."""
     pop = build_plpeak_population(DEFAULT_PLPEAK_POPULATION)
     p = DEFAULT_PLPEAK_MASS
-    assert float(pop.log_dndmdqdv(jnp.asarray(float(p.mmin) - 0.5), jnp.asarray(0.9), jnp.asarray(0.1))) == -np.inf
-    assert float(pop.log_dndmdqdv(jnp.asarray(M_TAB_HI + 1.0), jnp.asarray(0.9), jnp.asarray(0.1))) == -np.inf
-    # secondary below the taper: q·m1 < mmin
-    assert float(pop.log_dndmdqdv(jnp.asarray(40.0), jnp.asarray(0.05), jnp.asarray(0.1))) == -np.inf
+    ref = float(pop.log_dndmdqdv(jnp.asarray(30.0), jnp.asarray(0.9), jnp.asarray(0.1)))
+    for m1, q in (
+        (float(p.mmin) - 0.5, 0.9),  # primary below the taper
+        (M_TAB_HI + 1.0, 0.9),  # beyond the q-table edge
+        (40.0, 0.05),  # secondary below the taper: q·m1 < mmin
+    ):
+        v = float(pop.log_dndmdqdv(jnp.asarray(m1), jnp.asarray(q), jnp.asarray(0.1)))
+        assert np.isfinite(v) and v < ref - 30.0, (m1, q, v, ref)
 
 
 def _tiny_pop_data(seed=0, nobs=6, nsamp=32, nsel=256):
@@ -203,6 +215,66 @@ def test_plpeak_spec_value_and_grad_finite():
         u, g = jax.value_and_grad(pot)(th)
         assert np.isfinite(float(u))
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_plpeak_potential_finite_for_out_of_support_events():
+    """Soft-wall regression test (round 4).  Events deliberately placed where
+    many hyperparameter draws exclude them — at the low edge (m1 ≈ 5–8, so
+    mmin draws above them cut them off) and far above every mmax (m1 ≈ 150)
+    — must still give a FINITE potential and gradient at EVERY prior draw.
+    The round-3 hard-wall density put 27/32 prior draws at −inf here, which
+    is the root cause of the all-14-site plpeak SBC failure
+    (scratch/run_sbc_plpeak.log, VERDICT r3 weak #3)."""
+    from bumpcosmology_tpu.inference.likelihoods import make_pop_data, plpeak_model_spec
+    from bumpcosmology_tpu.inference.model import make_potential, prior_sample
+
+    rng = np.random.default_rng(42)
+    nobs, nsamp, nsel = 6, 16, 128
+    m1 = np.concatenate(
+        [rng.uniform(5.0, 8.0, (nobs - 2, nsamp)), rng.uniform(140.0, 160.0, (2, nsamp))]
+    )
+    q = rng.uniform(0.3, 1.0, (nobs, nsamp))
+    z = rng.uniform(0.05, 1.0, (nobs, nsamp))
+    data = make_pop_data(
+        m1, q, z, np.full((nobs, nsamp), 0.01),
+        rng.uniform(5.0, 60.0, nsel), rng.uniform(0.3, 1.0, nsel),
+        rng.uniform(0.05, 1.0, nsel), np.full(nsel, 0.01), ndraw=4.0 * nsel,
+    )
+    spec = plpeak_model_spec(data, n_grid=128)
+    pot = jax.jit(make_potential(spec))
+    vg = jax.jit(jax.vmap(jax.value_and_grad(pot)))
+    keys = jax.random.split(jax.random.PRNGKey(7), 32)
+    thetas = jax.vmap(lambda k: prior_sample(spec, k))(keys)
+    u, g = vg(thetas)
+    assert np.all(np.isfinite(np.asarray(u))), np.asarray(u)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_brokenpl_potential_finite_for_out_of_support_events():
+    """Same soft-wall regression guarantee for the third family."""
+    from bumpcosmology_tpu.inference.likelihoods import brokenpl_model_spec, make_pop_data
+    from bumpcosmology_tpu.inference.model import make_potential, prior_sample
+
+    rng = np.random.default_rng(43)
+    nobs, nsamp, nsel = 6, 16, 128
+    m1 = np.concatenate(
+        [rng.uniform(5.0, 8.0, (nobs - 2, nsamp)), rng.uniform(140.0, 160.0, (2, nsamp))]
+    )
+    q = rng.uniform(0.3, 1.0, (nobs, nsamp))
+    z = rng.uniform(0.05, 1.0, (nobs, nsamp))
+    data = make_pop_data(
+        m1, q, z, np.full((nobs, nsamp), 0.01),
+        rng.uniform(5.0, 60.0, nsel), rng.uniform(0.3, 1.0, nsel),
+        rng.uniform(0.05, 1.0, nsel), np.full(nsel, 0.01), ndraw=4.0 * nsel,
+    )
+    spec = brokenpl_model_spec(data, n_grid=128)
+    pot = jax.jit(make_potential(spec))
+    vg = jax.jit(jax.vmap(jax.value_and_grad(pot)))
+    keys = jax.random.split(jax.random.PRNGKey(8), 32)
+    thetas = jax.vmap(lambda k: prior_sample(spec, k))(keys)
+    u, g = vg(thetas)
+    assert np.all(np.isfinite(np.asarray(u))), np.asarray(u)
+    assert np.all(np.isfinite(np.asarray(g)))
 
 
 @pytest.mark.slow
