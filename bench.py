@@ -50,6 +50,19 @@ chains; the headline ``value`` is the best measured configuration and the
 timed draws, so the kernel-identity argument is not needed for it; the CPU
 conversion always uses the NUTS kernels' ESS-per-draw (the reference runs
 NUTS).
+
+Driver-budget discipline (round 4, after BENCH_r03 rc:124/parsed:null):
+the run is wall-clock-budgeted (``BENCH_BUDGET_S``, default 450 s).  The two
+mandatory arms (16-chain NUTS → ESS-per-draw anchor; 64-chain hybrid →
+headline candidate) run first; every further arm — the live CPU baseline,
+the 4/64-chain NUTS ladder, the 128/256-chain hybrids — is gated on the
+remaining budget against a conservative cost estimate and skipped (to
+stderr) when it does not fit.  If the live CPU baseline is skipped, the
+committed measurement ``benchmarks/cpu_baseline.json`` (same host, same
+kernels; regenerated whenever the flagship program changes) supplies the
+baseline rate, and ``cpu_config`` says so.  A watchdog thread prints the
+best-so-far JSON at the budget deadline if the main flow has not printed
+yet, so a stall anywhere still leaves the driver a parsed record.
 """
 from __future__ import annotations
 
@@ -65,11 +78,20 @@ HERE = Path(__file__).resolve().parent
 CATALOG = HERE / "benchmarks" / "flagship_catalog.npz"
 WARMUP = HERE / "benchmarks" / "flagship_warmup.npz"
 WARMUP16 = HERE / "benchmarks" / "flagship_warmup16.npz"
+CPU_BASELINE = HERE / "benchmarks" / "cpu_baseline.json"
+
+# wall-clock budget for the whole bench (driver windows are ~10 min; leave
+# margin for interpreter startup + the driver's own overhead)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "450"))
+T0 = time.perf_counter()
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T0)
 
 N_CHAINS_CPU = 4  # the reference configuration (run_cosmo_fit.py:18)
 N_CHAINS_ACCEL = 16  # TPU-native vectorized-chain NUTS configuration
 N_ACCEL_DRAWS = 400  # per chain
-CPU_BUDGET_S = 45.0  # CPU timing window (post-compile)
 SEED = 3281922803 % (2**31)
 
 # hybrid (nuts+chees) headline candidate: fixed-length jittered HMC from the
@@ -228,8 +250,8 @@ def bench_hybrid(platform: str, warm, spec, potential, n_draws: int):
     return min_ess / dt
 
 
-def bench_cpu_rate():
-    """CPU draws/s at the identical kernel, plus a direct-ESS sanity line."""
+def bench_cpu_rate(n_chunks: int = 3, chunk: int = 10):
+    """CPU draws/s at the identical kernel (best chunk of a short window)."""
     import jax
 
     from bumpcosmology_tpu.inference.nuts import NutsConfig, run_sampling
@@ -238,46 +260,120 @@ def bench_cpu_rate():
     cfg = NutsConfig()
     key = jax.random.PRNGKey(SEED + 1)
 
-    out = run_sampling(potential, warm, key, 25, cfg)  # compile
+    out = run_sampling(potential, warm, key, chunk, cfg, chunk_size=chunk)  # compile
     jax.block_until_ready(out[0])
 
-    drawn = 0
-    chunks = []
     chunk_rates = []
     state = warm
     t0 = time.perf_counter()
-    while time.perf_counter() - t0 < CPU_BUDGET_S and drawn < N_ACCEL_DRAWS:
+    for _ in range(n_chunks):
         key, k = jax.random.split(key)
         tc = time.perf_counter()
-        thetas, _, state = run_sampling(potential, state, k, 25, cfg)
+        thetas, _, state = run_sampling(potential, state, k, chunk, cfg, chunk_size=chunk)
         jax.block_until_ready(thetas)
-        chunk_rates.append(25 * N_CHAINS_CPU / (time.perf_counter() - tc))
-        chunks.append(thetas)
-        drawn += 25
+        chunk_rates.append(chunk * N_CHAINS_CPU / (time.perf_counter() - tc))
+        if remaining() < 30.0:
+            break
     dt = time.perf_counter() - t0
 
-    total = N_CHAINS_CPU * drawn
     # the shared host's throughput swings ~3x between runs (noisy
-    # neighbors); credit the CPU its best 25-draw chunk — the conservative
+    # neighbors); credit the CPU its best chunk — the conservative
     # (ratio-shrinking) estimate of what this host can actually sustain
     rate = max(chunk_rates)
     log(
-        f"[bench/cpu] {total} draws in {dt:.1f}s (mean {total / dt:.2f} "
-        f"draws/s; best chunk {rate:.2f} draws/s used as the baseline)"
+        f"[bench/cpu] {len(chunk_rates)} x {chunk * N_CHAINS_CPU}-draw chunks "
+        f"in {dt:.1f}s (best chunk {rate:.2f} draws/s used as the baseline)"
     )
-    if drawn >= 100:
-        thetas = np.concatenate([np.asarray(c) for c in chunks], axis=1)
-        ess = _min_ess(spec, thetas)
-        log(
-            f"[bench/cpu] direct min-ESS over the window: {ess:.0f}/{total} "
-            f"({ess / dt:.3f} ESS/s; noisy at this window length — the "
-            "headline CPU ESS/s uses the kernel-identical ESS-per-draw)"
-        )
+    _save_cpu_baseline(rate)
     return rate
+
+
+def _save_cpu_baseline(rate: float) -> None:
+    """Persist the measured CPU rate for budget-starved future runs."""
+    import datetime
+
+    try:
+        CPU_BASELINE.write_text(
+            json.dumps(
+                {
+                    "draws_per_sec": round(float(rate), 4),
+                    "n_chains": N_CHAINS_CPU,
+                    "cpu_cores": os.cpu_count() or 1,
+                    "measured": datetime.date.today().isoformat(),
+                    "method": "best 40-draw chunk, reference 4-chain NUTS "
+                    "kernels from benchmarks/flagship_warmup.npz",
+                }
+            )
+            + "\n"
+        )
+    except OSError as err:
+        log(f"[bench] could not persist cpu baseline: {err!r}")
+
+
+def _load_cpu_baseline():
+    """(draws_per_sec, description) from the committed measurement, or None."""
+    if not CPU_BASELINE.exists():
+        return None
+    try:
+        d = json.loads(CPU_BASELINE.read_text())
+        return float(d["draws_per_sec"]), d.get("measured", "?")
+    except (ValueError, KeyError) as err:
+        log(f"[bench] bad {CPU_BASELINE}: {err!r}")
+        return None
+
+
+class _Snapshot:
+    """Best-so-far result, printable exactly once (main flow or watchdog)."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._printed = False
+        self.payload = None
+
+    def update(self, **payload):
+        with self._lock:
+            if not self._printed:
+                self.payload = payload
+
+    def print_once(self, who: str) -> bool:
+        with self._lock:
+            if self._printed or self.payload is None:
+                return False
+            self._printed = True
+            payload = self.payload
+        print(json.dumps(payload), flush=True)
+        if who != "main":
+            log(f"[bench] {who}: budget hit at {time.perf_counter() - T0:.0f}s — "
+                "emitted best-so-far JSON; remaining arms abandoned")
+        return True
+
+    @property
+    def printed(self) -> bool:
+        return self._printed
+
+
+def _payload(ess_per_sec, sampler_name, accel_chains, scaling, vs_baseline,
+             vs_baseline_per_core, cpu_cores, cpu_config):
+    return dict(
+        metric="joint_fit_min_ess_per_sec",
+        value=round(float(ess_per_sec), 3),
+        unit="ESS/s",
+        vs_baseline=round(float(vs_baseline), 2),
+        vs_baseline_per_core=round(float(vs_baseline_per_core), 2),
+        cpu_cores=cpu_cores,
+        cpu_config=cpu_config,
+        accel_chains=accel_chains,
+        sampler=sampler_name,
+        scaling=list(scaling),
+    )
 
 
 def main():
     os.chdir(HERE)
+    import threading
+
     import jax
 
     from bumpcosmology_tpu.utils.compile_cache import enable_compilation_cache
@@ -296,88 +392,169 @@ def main():
     platform = accel or "cpu"
     _ensure_warmup(platform)
 
-    # CPU-only runs (CI smoke) use the 4-chain state and a short phase; the
-    # accelerator measures a 4/16/64-chain NUTS scaling ladder plus the
-    # nuts+chees hybrid at 64 chains; the headline is the best measured
-    # configuration (ESS always measured directly from the timed draws).
-    on_cpu = accel is None
+    snap = _Snapshot()
+    stop = threading.Event()
+
+    def watchdog():
+        while not stop.wait(5.0):
+            if remaining() <= 0.0 and snap.print_once("watchdog"):
+                return
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    cpu_cores = os.cpu_count() or 1
     scaling = []
     sampler_name = "nuts"
     accel_chains = N_CHAINS_ACCEL
-    if on_cpu:
+
+    if accel is None:
+        # CPU-only run (CI smoke): 4-chain state, short phase, no baseline arm
         spec, potential, warm = _prepare("cpu", WARMUP)
         ess_per_sec, ess_per_draw = bench_accel("cpu", warm, spec, potential, 50)
+        snap.update(**_payload(ess_per_sec, "nuts", N_CHAINS_CPU, scaling, 1.0,
+                               1.0, cpu_cores, "cpu-only smoke (no baseline arm)"))
+        stop.set()
+        snap.print_once("main")
+        return
+
+    dev = jax.devices(platform)[0]
+    spec, potential, warm4 = _prepare(platform, WARMUP)
+    if WARMUP16.exists():
+        _, _, warm16 = _prepare(platform, WARMUP16)
     else:
-        spec, potential, warm4 = _prepare(platform, WARMUP)
-        if WARMUP16.exists():
-            _, _, warm16 = _prepare(platform, WARMUP16)
-        else:
-            warm16 = jax.device_put(_tile_warmup(warm4, 4), jax.devices(platform)[0])
-        warm64 = jax.device_put(_tile_warmup(warm16, 4), jax.devices(platform)[0])
-        for warm, n_draws in ((warm4, 400), (warm16, N_ACCEL_DRAWS), (warm64, 150)):
-            n_chains = int(np.asarray(warm.eps).shape[0])
-            eps, epd = bench_accel(platform, warm, spec, potential, n_draws)
-            scaling.append(
-                {"chains": n_chains, "sampler": "nuts", "ess_per_sec": round(float(eps), 3)}
-            )
-            if n_chains == N_CHAINS_ACCEL:
-                ess_per_sec, ess_per_draw = eps, epd
+        warm16 = jax.device_put(_tile_warmup(warm4, 4), dev)
 
-        hybrid_eps = bench_hybrid(platform, warm64, spec, potential, HYBRID_DRAWS)
-        scaling.append(
-            {
-                "chains": N_CHAINS_HYBRID,
-                "sampler": "nuts+chees",
-                "ess_per_sec": round(float(hybrid_eps), 3),
-            }
+    # Baseline bookkeeping: ``cpu_rate`` is filled by the live arm or the
+    # committed measurement; until then early snapshots already use the
+    # committed value (if any) so a watchdog print is never "vs_baseline: 1".
+    cpu_rate = None
+    cpu_config = f"reference 4-chain NUTS on {cpu_cores} host core(s)"
+    ess_per_draw = None
+
+    def vs_pair(ess_per_sec):
+        if cpu_rate is None or ess_per_draw is None:
+            return 1.0, 1.0
+        cpu_ess_per_sec = ess_per_draw * cpu_rate
+        # per-core normalization: the reference config runs its 4 chains in
+        # parallel given >=4 cores, so a realistic multi-core host baseline
+        # is ~(per-core throughput x min(cores, 4)); the per-core ratio makes
+        # the headline portable across hosts
+        cpu_ess_per_core = cpu_ess_per_sec / min(cpu_cores, N_CHAINS_CPU)
+        return ess_per_sec / cpu_ess_per_sec, ess_per_sec / cpu_ess_per_core
+
+    def refresh(ess_per_sec):
+        vs, vs_core = vs_pair(ess_per_sec)
+        snap.update(**_payload(
+            ess_per_sec, sampler_name, accel_chains, scaling,
+            vs, vs_core, cpu_cores,
+            cpu_config if cpu_rate is not None else "baseline pending",
+        ))
+
+    cached = _load_cpu_baseline()
+    if cached is not None:
+        cpu_rate = cached[0]
+        cpu_config += (
+            f" (committed measurement of {cached[1]}, benchmarks/cpu_baseline.json)"
         )
-        if hybrid_eps > ess_per_sec:
-            ess_per_sec = hybrid_eps
-            sampler_name = "nuts+chees"
-            accel_chains = N_CHAINS_HYBRID
-        # ess_per_draw stays the NUTS-kernel value: the CPU baseline runs the
-        # reference's own NUTS config, so its ESS/s conversion must use the
-        # NUTS kernels' ESS-per-draw (kernel-identical method)
 
-    cpu_cores = os.cpu_count() or 1
-    vs_baseline = 1.0
-    vs_baseline_per_core = 1.0
-    if accel is not None:
+    # --- mandatory arm 1: 16-chain NUTS (ESS-per-draw anchor + first headline)
+    ess_per_sec, ess_per_draw = bench_accel(
+        platform, warm16, spec, potential, N_ACCEL_DRAWS
+    )
+    scaling.append({"chains": 16, "sampler": "nuts",
+                    "ess_per_sec": round(float(ess_per_sec), 3)})
+    refresh(ess_per_sec)
+
+    # --- mandatory arm 2: 64-chain hybrid (headline candidate)
+    warm64 = jax.device_put(_tile_warmup(warm16, 4), dev)
+    hybrid_eps = bench_hybrid(platform, warm64, spec, potential, HYBRID_DRAWS)
+    scaling.append({"chains": 64, "sampler": "nuts+chees",
+                    "ess_per_sec": round(float(hybrid_eps), 3)})
+    if hybrid_eps > ess_per_sec:
+        ess_per_sec, sampler_name, accel_chains = hybrid_eps, "nuts+chees", 64
+    refresh(ess_per_sec)
+    # ess_per_draw stays the NUTS-kernel value: the CPU baseline runs the
+    # reference's own NUTS config, so its ESS/s conversion must use the
+    # NUTS kernels' ESS-per-draw (kernel-identical method)
+
+    # --- CPU baseline: live if the budget affords it, committed otherwise.
+    # Live cost is dominated by the XLA:CPU compile (~130 s uncached on this
+    # host) + three 40-draw chunks (~45 s each at the measured ~0.9 draws/s).
+    live_cpu_cost = 260.0
+    if remaining() > live_cpu_cost:
         try:
-            cpu_rate = bench_cpu_rate()
-            cpu_ess_per_sec = ess_per_draw * cpu_rate
-            vs_baseline = ess_per_sec / cpu_ess_per_sec
-            # per-core normalization: the reference config runs its 4 chains
-            # in parallel given >=4 cores, so a realistic multi-core host
-            # baseline is ~(per-core throughput x min(cores, 4)); reporting
-            # the per-core ratio makes the headline portable across hosts
-            cpu_ess_per_core = cpu_ess_per_sec / min(cpu_cores, N_CHAINS_CPU)
-            vs_baseline_per_core = ess_per_sec / cpu_ess_per_core
-            log(
-                f"[bench] accel {ess_per_sec:.2f} ESS/s vs CPU "
-                f"{cpu_ess_per_sec:.3f} ESS/s on {cpu_cores} core(s) -> "
-                f"{vs_baseline:.1f}x ({vs_baseline_per_core:.1f}x per CPU core; "
-                f"north-star target >=50x on v5e-8, BASELINE.json)"
+            live_rate = bench_cpu_rate()
+            cpu_rate = live_rate
+            cpu_config = (
+                f"reference 4-chain NUTS on {cpu_cores} host core(s) (live measurement)"
             )
         except Exception as err:
-            log(f"[bench] CPU baseline failed: {err!r}")
+            log(f"[bench] live CPU baseline failed: {err!r}")
+        finally:
+            # _prepare("cpu") switched the GLOBAL interp default to the
+            # CPU-friendly gather path; the optional TPU arms below must get
+            # the tiled accelerator default back (measured: the 4-chain NUTS
+            # arm runs 30x slower on the gather path, scratch/r4_bench_full.log)
+            from bumpcosmology_tpu.ops.interp import set_default_method
 
-    print(
-        json.dumps(
-            {
-                "metric": "joint_fit_min_ess_per_sec",
-                "value": round(float(ess_per_sec), 3),
-                "unit": "ESS/s",
-                "vs_baseline": round(float(vs_baseline), 2),
-                "vs_baseline_per_core": round(float(vs_baseline_per_core), 2),
-                "cpu_cores": cpu_cores,
-                "cpu_config": f"reference 4-chain NUTS on {cpu_cores} host core(s)",
-                "accel_chains": accel_chains,
-                "sampler": sampler_name,
-                "scaling": scaling,
-            }
+            set_default_method(None if platform in ("tpu", "axon") else "gather")
+    elif cpu_rate is not None:
+        log(f"[bench] budget ({remaining():.0f}s left) -> committed CPU "
+            f"baseline {cpu_rate:.2f} draws/s")
+    else:
+        log(f"[bench] budget ({remaining():.0f}s left) and no committed "
+            "baseline — vs_baseline will be 1.0")
+
+    vs_baseline, vs_baseline_per_core = vs_pair(ess_per_sec)
+    if cpu_rate is not None:
+        log(
+            f"[bench] accel {ess_per_sec:.2f} ESS/s vs CPU "
+            f"{ess_per_draw * cpu_rate:.3f} ESS/s on {cpu_cores} core(s) -> "
+            f"{vs_baseline:.1f}x ({vs_baseline_per_core:.1f}x per CPU core; "
+            f"north-star target >=50x on v5e-8, BASELINE.json)"
         )
-    )
+    refresh(ess_per_sec)
+
+    # --- optional arms, cheapest-first, each gated on remaining budget
+    # (costs are conservative wall estimates incl. compile on this chip)
+    def arm_nuts(warm, n_draws, n_chains):
+        nonlocal ess_per_sec, sampler_name, accel_chains
+        eps, _ = bench_accel(platform, warm, spec, potential, n_draws)
+        scaling.append({"chains": n_chains, "sampler": "nuts",
+                        "ess_per_sec": round(float(eps), 3)})
+        if eps > ess_per_sec:
+            ess_per_sec, sampler_name, accel_chains = eps, "nuts", n_chains
+
+    def arm_hybrid(n_chains, n_draws):
+        nonlocal ess_per_sec, sampler_name, accel_chains
+        warm = jax.device_put(_tile_warmup(warm16, n_chains // 16), dev)
+        eps = bench_hybrid(platform, warm, spec, potential, n_draws)
+        scaling.append({"chains": n_chains, "sampler": "nuts+chees",
+                        "ess_per_sec": round(float(eps), 3)})
+        if eps > ess_per_sec:
+            ess_per_sec, sampler_name, accel_chains = eps, "nuts+chees", n_chains
+
+    optional = [
+        ("nuts@4", 40.0, lambda: arm_nuts(warm4, 400, 4)),
+        ("hybrid@128", 170.0, lambda: arm_hybrid(128, 300)),
+        ("nuts@64", 140.0, lambda: arm_nuts(
+            jax.device_put(_tile_warmup(warm16, 4), dev), 150, 64)),
+        ("hybrid@256", 220.0, lambda: arm_hybrid(256, 200)),
+    ]
+    for name, cost, run in optional:
+        if snap.printed:
+            break
+        if remaining() < cost + 30.0:
+            log(f"[bench] skipping {name} ({remaining():.0f}s left < {cost:.0f}s est)")
+            continue
+        try:
+            run()
+        except Exception as err:
+            log(f"[bench] optional arm {name} failed: {err!r}")
+        refresh(ess_per_sec)
+
+    stop.set()
+    snap.print_once("main")
 
 
 if __name__ == "__main__":
