@@ -36,19 +36,23 @@ TPU-first design notes
   and gradient-stable through the α → 1 singularity in float32.
 * The Planck taper is evaluated with the double-``where`` guard so reverse-mode
   gradients stay NaN-free at the branch edges (a JAX ``where``-grad hazard).
-* **Soft walls** (round 4): the model's hard supports (taper zero below
-  ``mmin``, power-law truncation at ``mmax``, table edge) are continued as
-  steep *linear* log-density ramps (slope ``WALL_SLOPE`` = 25 nats/Msun from
-  a ≈ −49-nat anchor) instead of −∞.  The likelihood is then finite with
+* **Soft walls** (round 4): the model's hard supports are continued as
+  *linear* log-density ramps instead of −∞, so the likelihood is finite with
   informative gradients everywhere — no −∞ event marginals for prior draws
   whose support excludes an observed event, no NaN-poisoned NUTS trees, no
   divergence cliffs at the walls (round-3 measurement of the hard-wall
   version: 733/1600 divergences, R̂ = 73, all-14-site SBC failure,
-  ``scratch/r3b_plpeak_tpu.log``).  The spurious probability mass beyond a
-  wall is ≤ e⁻⁴⁹/25 ≈ 10⁻²³ of a component — orders of magnitude below
-  MC noise — and the SBC generator uses the *same* density (the simulator
-  weights events by ``log_dndmdqdv``), so calibration is exactly
-  self-consistent.
+  ``scratch/r3b_plpeak_tpu.log``).  Two regimes: edges where the density is
+  already continuous (the ``mmax`` truncation, the q-table edge) ramp at
+  ``WALL_SLOPE`` = 25 nats/Msun (spurious mass ~10⁻²³); the Planck-taper
+  *foot* — doubly-exponential in the exact model — is kept exact only down
+  to log S = −8 and ramps at ``FOOT_SLOPE`` = 4 nats/Msun below (spurious
+  mass ~10⁻⁴ of a component, two orders under the event-marginal MC noise),
+  because following the exact foot further creates a per-PE-sample
+  log-weight staircase that pins ``mmin`` mixing (measured:
+  ``scratch/r4_diag_plpeak.log``).  The SBC generator uses the *same*
+  density (the simulator weights events by ``log_dndmdqdv``), so
+  calibration is exactly self-consistent.
 """
 from __future__ import annotations
 
@@ -129,35 +133,50 @@ DEFAULT_PLPEAK_POPULATION = PLPeakPopulationParams(
 )
 
 
-# Soft-wall slope [nats/Msun]: linear log-density ramp replacing every hard
-# −∞ support edge.  Steep enough that 2 Msun past a wall costs 50 nats on top
-# of the ≈ −49-nat anchor (total mass beyond a wall ≲ 10⁻²³), shallow enough
-# that the restoring gradient is integrable by NUTS at adapted step sizes
-# (a hard wall gives NaN gradients → rejected trees → divergences).
+# Soft-wall slope [nats/Msun]: linear log-density ramp replacing the hard
+# −∞ truncations at mmax and the q-table edge.  The density is CONTINUOUS at
+# those edges (no anchor drop), so a steep ramp is safe for NUTS: 2 Msun
+# past the wall costs 50 nats (spurious mass ≲ 10⁻²³ of a component).
 WALL_SLOPE = 25.0
+
+# Taper-foot floor: the exact Planck foot is doubly-exponential
+# (S ~ e^{−δ/x} as x → 0⁺), so following it far down creates a tens-of-nats
+# per-PE-sample log-weight staircase in the mmin direction — measured round 4
+# as a −49-nat-anchored version that left mmin at ESS 9/256 with depth-10
+# trees (scratch/r4_diag_plpeak.log).  Instead the exact curve is kept only
+# down to log S = −8 and continued linearly at FOOT_SLOPE below: spurious
+# extra mass ≈ e⁻⁸/FOOT_SLOPE ≈ 10⁻⁴ of a component (two orders under the
+# ~6 % event-marginal MC noise), while the restoring gradient stays bounded
+# — the same tails-are-soft geometry that lets the bump family's logistic
+# turn-on sample cleanly.
+# X_C: the exact root of δ/x + δ/(x−δ) = 8, i.e. where log S(x) = −softplus(8)
+# ≈ −8.0003 (smaller root of 8x² − 10δx + δ² = 0).
+X_C = (10.0 - math.sqrt(68.0)) / 16.0  # ≈ 0.10955
+FOOT_SLOPE = 4.0
 
 
 def log_planck_taper(m, mmin, delta_m):
-    """log S(m): the Planck-taper turn-on, ≈ 0 density below ``mmin``
-    (soft wall), 1 above ``mmin + delta_m``, S = 1/(e^f + 1) with
-    f = δ/x + δ/(x-δ), x = m-mmin, in between.
+    """log S(m): the Planck-taper turn-on — exact where S ≥ e⁻⁸, soft-floored
+    below; 1 above ``mmin + delta_m``.  S = 1/(e^f + 1) with
+    f = δ/x + δ/(x-δ), x = m-mmin, in the interior.
 
     Gradient-safe at the branch edges: the interior expression is evaluated
-    at an x clamped to [0.02δ, 0.98δ], so it never produces inf·0 NaNs in
-    reverse mode.  Below the clamp the exact curve (≈ −49 nats at 0.02δ) is
-    continued as a linear ramp of slope ``WALL_SLOPE`` — finite, steeply
-    decreasing log density instead of the exact −∞ (see module docstring;
-    the truncated curve at 0.98δ is within e⁻⁴⁹ of the exact taper).  At
-    δ_m = 0 the taper degenerates to a soft step at ``mmin``.
+    at an x clamped to [X_C·δ, 0.98δ], so it never produces inf·0 NaNs in
+    reverse mode.  Below X_C·δ (where the exact curve passes −8 nats) the
+    curve continues as a linear ramp of slope ``FOOT_SLOPE`` — finite,
+    decreasing log density instead of the doubly-exponential collapse to −∞
+    (see FOOT_SLOPE above for why; the truncated curve at 0.98δ is within
+    e⁻⁴⁹ of the exact taper).  At δ_m = 0 the taper degenerates to an
+    8-nat soft step at ``mmin`` with the same ramp below.
     """
     m = jnp.asarray(m)
     x = m - mmin
     dm_safe = jnp.maximum(delta_m, 1e-6)
-    x_lo = 0.02 * dm_safe
+    x_lo = X_C * dm_safe
     x_in = jnp.clip(x, x_lo, 0.98 * dm_safe)
     f = jnp.clip(dm_safe / x_in + dm_safe / (x_in - dm_safe), -80.0, 80.0)
     mid = -jax.nn.softplus(f)
-    below = mid - WALL_SLOPE * jnp.maximum(x_lo - x, 0.0)
+    below = mid - FOOT_SLOPE * jnp.maximum(x_lo - x, 0.0)
     return jnp.where(x >= dm_safe, 0.0, below)
 
 

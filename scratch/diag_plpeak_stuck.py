@@ -3,7 +3,7 @@ import sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 from bumpcosmology_tpu.ops.interp import set_default_method
-set_default_method("matmul" if jax.devices()[0].platform in ("tpu", "axon") else "gather")
+set_default_method(None if jax.devices()[0].platform in ("tpu", "axon") else "gather")
 from bumpcosmology_tpu.inference.calibration import (
     make_mock_pop_cosmo_simulator_fresh, make_plpeak_cosmo_sbc_spec_builder,
 )
