@@ -24,6 +24,7 @@ HERE = Path(__file__).resolve().parent
 sys.path.insert(0, str(HERE.parent))
 
 from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_z_of_dl_np  # noqa: E402
+from bumpcosmology_tpu.utils.io import write_table  # noqa: E402
 
 
 def main(outdir: str = "data/flagship") -> None:
@@ -63,8 +64,8 @@ def main(outdir: str = "data/flagship") -> None:
             "ndraw": float(np.exp(sln)),
         }
     )
-    pe.to_hdf(out / "pe-samples.h5", key="samples", mode="w")
-    sel.to_hdf(out / "selection-samples.h5", key="samples", mode="w")
+    write_table(out / "pe-samples.h5", pe)
+    write_table(out / "selection-samples.h5", sel)
     print(
         f"[flagship-tables] wrote {nobs}x{nsamp} PE rows + {len(sel)} selection "
         f"rows (ndraw {float(np.exp(sln)):.4g}) to {out}/"
