@@ -12,7 +12,18 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # Serialize XLA:CPU LLVM codegen.  Under heavy host oversubscription
+    # (1-core machine shared with a TPU-driver process) the parallel codegen
+    # path segfaulted nondeterministically inside backend_compile_and_load —
+    # three flaky suite crashes, all with this stack, none reproducible
+    # solo (scratch/r4_fast_suite{3,4}.log, r4_suite_partB.log); a
+    # 34-minute contended rerun with the split serialized passed
+    # (scratch/r4_codegen_probe.log).  On the 1-core hosts these tests run
+    # on, parallel codegen buys nothing anyway.
+    flags += " --xla_cpu_parallel_codegen_split_count=1"
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
