@@ -15,13 +15,18 @@ if "xla_force_host_platform_device_count" not in flags:
     flags += " --xla_force_host_platform_device_count=8"
 if "xla_cpu_parallel_codegen_split_count" not in flags:
     # Serialize XLA:CPU LLVM codegen.  Under heavy host oversubscription
-    # (1-core machine shared with a TPU-driver process) the parallel codegen
-    # path segfaulted nondeterministically inside backend_compile_and_load —
-    # three flaky suite crashes, all with this stack, none reproducible
-    # solo (scratch/r4_fast_suite{3,4}.log, r4_suite_partB.log); a
-    # 34-minute contended rerun with the split serialized passed
-    # (scratch/r4_codegen_probe.log).  On the 1-core hosts these tests run
-    # on, parallel codegen buys nothing anyway.
+    # (1-core machine shared with a TPU-driver process) XLA:CPU compilation
+    # segfaults nondeterministically inside backend_compile_and_load —
+    # four flaky suite crashes, all with that stack, NONE reproducible in a
+    # quiet window (scratch/r4_fast_suite{3,4,5}.log, r4_suite_partB.log;
+    # every per-file rerun passed).  This flag removes the parallel-codegen
+    # slice of that surface (one contended 34-min rerun passed with it,
+    # scratch/r4_codegen_probe.log) but does NOT eliminate the crash —
+    # r4_fast_suite5 crashed with the flag set, so the fault is deeper in
+    # XLA:CPU compile under oversubscription (environment bug, not a suite
+    # bug).  Kept because serial codegen costs nothing on 1-core hosts.
+    # If a CI run dies with SIGSEGV in backend_compile_and_load, rerun in a
+    # quiet window before suspecting the code.
     flags += " --xla_cpu_parallel_codegen_split_count=1"
 os.environ["XLA_FLAGS"] = flags
 
