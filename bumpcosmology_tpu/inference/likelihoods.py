@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 from typing import Dict, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.scipy.special import logsumexp
@@ -360,6 +361,84 @@ def _cosmo_frame_logwts_fused(pop, det, a, q, dl, log_pdraw):
     )
 
 
+def _cosmo_frame_logwts_bracket(pop, det, onehot, frac, a, q, log_pdraw):
+    """Detector-frame weight with *precomputed constant* interp brackets.
+
+    Same mathematics as :func:`_cosmo_frame_logwts_fused`, but the bracket
+    selection against the log(dL)-keyed detector table is a data constant
+    (queries are the observed dL, the grid is static), precomputed once by
+    :func:`~bumpcosmology_tpu.ops.interp.static_bracket_weights`.  The
+    per-eval cosmology fetch collapses to one (N, K-1) @ (K-1, 4) matmul —
+    the round-5 roofline fix (the tiled fetch was 63% of the 64-chain
+    value+grad and left the chip at 92% of HBM-bandwidth peak).
+    """
+    from bumpcosmology_tpu.ops.interp import fetch_static_bracket
+
+    zj = fetch_static_bracket(onehot, frac, det.cols)  # (N, 2)
+    shape = a.shape
+    z = zj[:, 0].reshape(shape)
+    log_jac = zj[:, 1].reshape(shape)
+    m1 = a / (1.0 + z)
+    return (
+        log_dndmdqdv(pop, m1, q, z) - 2.0 * jnp.log1p(z) + log_jac - log_pdraw
+    )
+
+
+_BRACKET_CACHE: Dict[tuple, tuple] = {}
+_BRACKET_OVERRIDE = None  # None = by backend (TPU only); True/False force
+
+
+def set_bracket_fetch(mode) -> None:
+    """Force the static-bracket detector fetch on/off (``None`` = by backend).
+
+    The bracket fetch replaces per-eval tiled lookups with one constant-LHS
+    matmul — a bandwidth win on the TPU MXU, but a *slowdown* on CPU, where
+    the gather formulation is already O(1)/query.  The default therefore
+    enables it only on the TPU backend; tests use the override to exercise
+    the bracket path on the CPU mesh.
+    """
+    global _BRACKET_OVERRIDE
+    assert mode in (None, True, False)
+    _BRACKET_OVERRIDE = mode
+
+
+def _brackets_enabled() -> bool:
+    if _BRACKET_OVERRIDE is not None:
+        return _BRACKET_OVERRIDE
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def _frame_brackets(ev_c, sel_c, dl_bounds, n_det: int):
+    """Constant interp brackets for the event/selection dL queries, or ``None``.
+
+    Returns ``((ev_onehot, ev_frac), (sel_onehot, sel_frac))`` numpy constants
+    when the dL arrays are concrete (the normal dense fit path), or ``None``
+    when they are tracers (e.g. an SBC fleet vmapped over catalogs) — callers
+    then fall back to the per-eval tiled fetch.  Cached per (array identity,
+    bounds, n_det): the weight matrices are O(N·n_det) and rebuilt only when
+    a new catalog/spec is built, not per trace.
+    """
+    from bumpcosmology_tpu.ops.interp import static_bracket_weights
+
+    if not _brackets_enabled():
+        return None
+    if isinstance(ev_c, jax.core.Tracer) or isinstance(sel_c, jax.core.Tracer):
+        return None
+    key = (id(ev_c), id(sel_c), dl_bounds, n_det)
+    hit = _BRACKET_CACHE.get(key)
+    if hit is not None:
+        return hit
+    v0 = math.log(dl_bounds[0])
+    v1 = math.log(dl_bounds[1])
+    dv = (v1 - v0) / (n_det - 1)
+    ev_br = static_bracket_weights(np.log(np.asarray(ev_c, np.float64)), v0, dv, n_det)
+    sel_br = static_bracket_weights(np.log(np.asarray(sel_c, np.float64)), v0, dv, n_det)
+    if len(_BRACKET_CACHE) > 8:  # a handful of specs live at once, at most
+        _BRACKET_CACHE.clear()
+    _BRACKET_CACHE[key] = (ev_br, sel_br)
+    return ev_br, sel_br
+
+
 def dl_bounds_of(data: PopCosmoData, margin: float = 0.05):
     """Static (dl_lo, dl_hi) floats bracketing every event/selection dL —
     the detector-table keying range (computed once at spec build)."""
@@ -369,13 +448,27 @@ def dl_bounds_of(data: PopCosmoData, margin: float = 0.05):
 
 
 def _pop_cosmo_event_sel_logwts(
-    sites, data: PopCosmoData, n_grid: int, n_z: int, dl_bounds=None, build=None
+    sites, data: PopCosmoData, n_grid: int, n_z: int, dl_bounds=None, build=None,
+    n_det=None,
 ):
     build = build or (lambda s, n: build_population(population_from_sites(s), n))
     pop = build(sites, n_grid)
     cosmo = build_cosmology(cosmo_from_sites(sites), n=n_z)
     ev, sel = data.events, data.selection
     if dl_bounds is not None:
+        brackets = None
+        if _LOGWTS_IMPL_OVERRIDE != "pallas":
+            brackets = _frame_brackets(ev.c, sel.c, dl_bounds, n_det or n_z)
+        if brackets is not None:
+            det = build_detector_table(cosmo, dl_bounds[0], dl_bounds[1], n=n_det or n_z)
+            (ev_oh, ev_fr), (sel_oh, sel_fr) = brackets
+            log_wts = _cosmo_frame_logwts_bracket(
+                pop, det, ev_oh, ev_fr, ev.a, ev.q, ev.log_pdraw
+            )
+            log_sel_wts = _cosmo_frame_logwts_bracket(
+                pop, det, sel_oh, sel_fr, sel.a, sel.q, sel.log_pdraw
+            )
+            return pop, cosmo, log_wts, log_sel_wts
         det = build_detector_table(cosmo, dl_bounds[0], dl_bounds[1], n=n_z)
         log_wts = _cosmo_frame_logwts_fused(pop, det, ev.a, ev.q, ev.c, ev.log_pdraw)
         log_sel_wts = _cosmo_frame_logwts_fused(
@@ -394,19 +487,23 @@ def pop_cosmo_loglike(
     n_z: int = 1024,
     dl_bounds=None,
     build=None,
+    n_det=None,
 ):
     """Joint population+cosmology log-likelihood (``pop_cosmo_model``,
     ``intensity_models.py:357-390``).
 
     With ``dl_bounds`` (static floats) the cosmology lookups route through
     the fused detector-frame table — numerically equivalent (same linear
-    interpolation resolution, re-keyed grid) and ~2x faster on TPU.
+    interpolation resolution, re-keyed grid) and ~2x faster on TPU.  When the
+    dL arrays are concrete the bracket weights are additionally precomputed
+    as data constants (:func:`_frame_brackets`), with ``n_det`` overriding
+    the detector-table resolution (default: ``n_z``).
     ``build`` selects the mass-model family (``None`` = PISN bump).
     """
     ev = data.events
     nobs, nsamp = ev.a.shape
     _, _, log_wts, log_sel_wts = _pop_cosmo_event_sel_logwts(
-        sites, data, n_grid, n_z, dl_bounds, build
+        sites, data, n_grid, n_z, dl_bounds, build, n_det
     )
     log_like = logsumexp(log_wts, axis=1) - math.log(nsamp)
     log_mu_sel = logsumexp(log_sel_wts) - data.selection.log_ndraw
@@ -520,10 +617,13 @@ def plpeak_loglike(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
 
 
 def plpeak_cosmo_loglike(
-    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, dl_bounds=None
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024,
+    dl_bounds=None, n_det=None,
 ):
     """Joint population+cosmology log-likelihood under POWER-LAW+PEAK."""
-    return pop_cosmo_loglike(sites, data, n_grid, n_z, dl_bounds, build=_build_plpeak)
+    return pop_cosmo_loglike(
+        sites, data, n_grid, n_z, dl_bounds, build=_build_plpeak, n_det=n_det
+    )
 
 
 def plpeak_deterministics(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
@@ -607,16 +707,24 @@ def pop_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
     )
 
 
-def pop_cosmo_model_spec(data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024) -> ModelSpec:
+def pop_cosmo_model_spec(
+    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, n_det=256
+) -> ModelSpec:
     """The joint population+cosmology model as a :class:`ModelSpec` (15 sites).
 
     The catalog's dL range is captured here as static bounds so the hot loop
-    can use the fused detector-frame table (see :func:`pop_cosmo_loglike`).
+    can use the fused detector-frame table (see :func:`pop_cosmo_loglike`);
+    ``n_det`` sets the detector-table resolution (``None`` = ``n_z``).
+    Default 256: the detector-grid truncation is unmeasurable against the
+    shared n_z=1024 cosmology-table truncation (f64 study vs an 8192-pt
+    oracle: max |dU| 0.1013/0.1013/0.1015 nats at n_det 256/512/1024 —
+    identical to 3 decimal places; ``scratch/r5_ndet_budget.py``), and the
+    bracket matmul cost scales linearly with n_det.
     """
     bounds = dl_bounds_of(data)
     return ModelSpec(
         priors=dict(POP_COSMO_PRIORS),
-        loglike=lambda sites: pop_cosmo_loglike(sites, data, n_grid, n_z, bounds),
+        loglike=lambda sites: pop_cosmo_loglike(sites, data, n_grid, n_z, bounds, n_det=n_det),
     )
 
 
@@ -629,13 +737,17 @@ def plpeak_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpec:
 
 
 def plpeak_cosmo_model_spec(
-    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, n_det=256
 ) -> ModelSpec:
-    """The joint POWER-LAW+PEAK + flat-wCDM model as a :class:`ModelSpec` (15 sites)."""
+    """The joint POWER-LAW+PEAK + flat-wCDM model as a :class:`ModelSpec` (15 sites).
+
+    ``n_det``: see :func:`pop_cosmo_model_spec`."""
     bounds = dl_bounds_of(data)
     return ModelSpec(
         priors=dict(PLPEAK_COSMO_PRIORS),
-        loglike=lambda sites: plpeak_cosmo_loglike(sites, data, n_grid, n_z, bounds),
+        loglike=lambda sites: plpeak_cosmo_loglike(
+            sites, data, n_grid, n_z, bounds, n_det=n_det
+        ),
     )
 
 
@@ -682,10 +794,13 @@ def brokenpl_loglike(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
 
 
 def brokenpl_cosmo_loglike(
-    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, dl_bounds=None
+    sites, data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024,
+    dl_bounds=None, n_det=None,
 ):
     """Joint population+cosmology log-likelihood under BROKEN POWER LAW."""
-    return pop_cosmo_loglike(sites, data, n_grid, n_z, dl_bounds, build=_build_brokenpl)
+    return pop_cosmo_loglike(
+        sites, data, n_grid, n_z, dl_bounds, build=_build_brokenpl, n_det=n_det
+    )
 
 
 def brokenpl_deterministics(sites, data: PopData, n_grid: int = DEFAULT_N_GRID):
@@ -735,13 +850,17 @@ def brokenpl_model_spec(data: PopData, n_grid: int = DEFAULT_N_GRID) -> ModelSpe
 
 
 def brokenpl_cosmo_model_spec(
-    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024
+    data: PopCosmoData, n_grid: int = DEFAULT_N_GRID, n_z: int = 1024, n_det=256
 ) -> ModelSpec:
-    """The joint BROKEN POWER LAW + flat-wCDM model as a :class:`ModelSpec` (14 sites)."""
+    """The joint BROKEN POWER LAW + flat-wCDM model as a :class:`ModelSpec` (14 sites).
+
+    ``n_det``: see :func:`pop_cosmo_model_spec`."""
     bounds = dl_bounds_of(data)
     return ModelSpec(
         priors=dict(BROKENPL_COSMO_PRIORS),
-        loglike=lambda sites: brokenpl_cosmo_loglike(sites, data, n_grid, n_z, bounds),
+        loglike=lambda sites: brokenpl_cosmo_loglike(
+            sites, data, n_grid, n_z, bounds, n_det=n_det
+        ),
     )
 
 

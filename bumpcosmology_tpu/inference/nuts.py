@@ -111,17 +111,25 @@ class NutsStats(NamedTuple):
 # ---------------------------------------------------------------------------
 
 
+# Mass-matrix products run at HIGHEST precision: the TPU MXU's default f32
+# dot is a single bf16 pass, and a ~2^-9-relative error in the leapfrog drift
+# is integrator noise the step-size adaptation then has to absorb.  At
+# O(15x15) the cost is irrelevant.
+def _matvec(cov, p):
+    return jnp.dot(cov, p, precision=jax.lax.Precision.HIGHEST)
+
+
 def _kinetic(p, cov):
-    return 0.5 * jnp.dot(p, cov @ p)
+    return 0.5 * jnp.dot(p, _matvec(cov, p), precision=jax.lax.Precision.HIGHEST)
 
 
 def _velocity(p, cov):
-    return cov @ p
+    return _matvec(cov, p)
 
 
 def _leapfrog(value_and_grad, theta, p, grad, eps, cov):
     p_half = p - 0.5 * eps * grad
-    theta_new = theta + eps * (cov @ p_half)
+    theta_new = theta + eps * _matvec(cov, p_half)
     u_new, grad_new = value_and_grad(theta_new)
     # pin to the position dtype: a model constant can silently down/up-cast
     # the potential's return, which would break fixed-shape loop carries

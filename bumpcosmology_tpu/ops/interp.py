@@ -21,12 +21,20 @@ all.  Both formulations are exposed; the default picks by backend
 """
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-__all__ = ["interp", "interp_unit_spaced", "interp_unit_tiled", "inverse_interp"]
+__all__ = [
+    "interp",
+    "interp_unit_spaced",
+    "interp_unit_tiled",
+    "inverse_interp",
+    "static_bracket_weights",
+    "fetch_static_bracket",
+]
 
 
 _METHOD_OVERRIDE: Optional[str] = None
@@ -95,7 +103,13 @@ def _interp_matmul(x, xp, fp):
         jnp.where(xq >= xp[-1], 1.0, onehot[:, -1])
     )
     cols = jnp.stack([xp[:-1], xp[1:], fp[:-1], fp[1:]], axis=1)  # (K-1, 4)
-    vals = jnp.dot(onehot, cols, preferred_element_type=xq.dtype)
+    # HIGHEST: the TPU MXU's default f32 dot is a single bf16 pass (~8
+    # mantissa bits) — selection through a 0/1 matrix must not round the
+    # table values (measured ±2^-9 relative on v5e, scratch/r5_roofline.py).
+    vals = jnp.dot(
+        onehot, cols, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=xq.dtype,
+    )
     x_lo, x_hi, f_lo, f_hi = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
     denom = x_hi - x_lo
     t = jnp.where(denom > 0, (xq - x_lo) / jnp.where(denom > 0, denom, 1.0), 0.0)
@@ -151,7 +165,10 @@ def _interp_unit_matmul(x, x0, dx, fp):
     pos = jnp.clip((x.reshape(-1) - x0) / dx, 0.0, n - 1.0)
     k = jax.lax.broadcasted_iota(pos.dtype, (1, n), 1)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - k))
-    out = jnp.dot(w, fp, preferred_element_type=pos.dtype)
+    # HIGHEST: see _interp_matmul — default f32 dots are bf16 on TPU.
+    out = jnp.dot(
+        w, fp, precision=jax.lax.Precision.HIGHEST, preferred_element_type=pos.dtype
+    )
     return out.reshape(shape + fp.shape[1:])
 
 
@@ -183,7 +200,7 @@ def interp_unit_spaced(
 
 
 def interp_unit_tiled(
-    x: jnp.ndarray, x0, dx, fp: jnp.ndarray, tile: int = 32
+    x: jnp.ndarray, x0, dx, fp: jnp.ndarray, tile: Optional[int] = None
 ) -> jnp.ndarray:
     """Two-level uniform-grid linear interpolation (TPU hot-path formulation).
 
@@ -201,7 +218,13 @@ def interp_unit_tiled(
     Materialized traffic drops to N·(T + 2(tile+1)·C) values — ~16x less at
     K = 1024 — while staying exact linear interpolation with clamped ends.
 
-    ``fp``: (K,) or (K, C) with (K-1) divisible by ``tile``.
+    ``fp``: (K,) or (K, C); tables not divisible by ``tile`` are edge-padded.
+
+    ``tile=None`` picks the traffic-optimal size: materialized values per
+    query are T + 2(tile+1)·C with T = (K-1)/tile, minimized at
+    tile* = sqrt((K-1)/(2C)) — rounded down to a power of two in [8, 32].
+    Measured on v5e (flagship 64-chain value+grad, scratch/r5_sweep.py):
+    tile 8 vs 32 on the K=256 mass table is 0.9 ms/eval faster.
     """
     x = jnp.asarray(x)
     fp = jnp.asarray(fp)
@@ -209,6 +232,9 @@ def interp_unit_tiled(
     if squeeze:
         fp = fp[:, None]
     k, c = fp.shape
+    if tile is None:
+        opt = math.sqrt(max(k - 1, 1) / (2.0 * c))
+        tile = min(32, max(8, 2 ** int(math.log2(max(opt, 1.0)))))
     kq = k  # query clamp bound (original table)
     if (k - 1) % tile != 0:
         # edge-pad to the next tile boundary; queries clamp to the original
@@ -238,18 +264,90 @@ def interp_unit_tiled(
         ],
         axis=0,
     )  # (T, (tile+1)*C) — static slices of the (traced) table
-    vals = jnp.dot(onehot, stacked, preferred_element_type=dtype)
+    # HIGHEST: see _interp_matmul — the default f32 dot is a single bf16
+    # pass on the TPU MXU, which would round every fetched table value by
+    # ~2^-9 relative (±0.004 in z, ~0.1 nats in log-density lookups).
+    vals = jnp.dot(
+        onehot, stacked, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=dtype,
+    )
     vals = vals.reshape(n, tile + 1, c)
 
     # stage 3: in-tile hat weights
     local = pos - tile_f * tile  # in [0, tile]
     j = jax.lax.broadcasted_iota(dtype, (1, tile + 1), 1)
     w = jnp.maximum(0.0, 1.0 - jnp.abs(local[:, None] - j))  # (N, tile+1)
-    out = jnp.einsum("nt,ntc->nc", w, vals)
+    out = jnp.einsum("nt,ntc->nc", w, vals, precision=jax.lax.Precision.HIGHEST)
     if squeeze:
         out = out[:, 0]
         return out.reshape(shape)
     return out.reshape(shape + (c,))
+
+
+# ------------------------------------------------------- static-bracket fetch
+
+
+def static_bracket_weights(x, x0: float, dx: float, n: int):
+    """Precompute constant linear-interp brackets for *data* queries.
+
+    When the query points are data constants and the grid is static (the
+    detector-frame table: queries are the observed log dL, the grid is the
+    catalog's static log-dL range), the bracket selection and in-cell
+    position do not depend on the sampled draw at all.  Computing them once
+    in float64 numpy turns every subsequent lookup into one small matmul
+    against the (traced) table — see :func:`fetch_static_bracket`.
+
+    This is the round-5 fix for the flagship hot loop: the per-eval tiled
+    fetch materialized O(N·tile) intermediates per chain and left the chip
+    HBM-bound at 92% of peak bandwidth (measured: 6.6 of 10.6 ms of the
+    64-chain value+grad was this fetch; ``scratch/r5_roofline.py``).
+
+    Returns ``(onehot, frac)`` numpy arrays: ``onehot`` is (N, n-1) float32
+    with a single 1 per row selecting the left knot, ``frac`` (N,) float32 is
+    the in-cell position in [0, 1].  Queries are clamped to the grid
+    (constant extrapolation), matching :func:`interp_unit_spaced`.
+    """
+    import numpy as np
+
+    pos = np.clip(
+        (np.asarray(x, dtype=np.float64).reshape(-1) - float(x0)) / float(dx),
+        0.0,
+        n - 1.0,
+    )
+    lo = np.minimum(np.floor(pos), n - 2).astype(np.int64)
+    frac = (pos - lo).astype(np.float32)
+    onehot = np.zeros((pos.shape[0], n - 1), dtype=np.float32)
+    onehot[np.arange(pos.shape[0]), lo] = 1.0
+    return onehot, frac
+
+
+def fetch_static_bracket(onehot, frac, fp: jnp.ndarray) -> jnp.ndarray:
+    """Linear-interp fetch through precomputed constant brackets.
+
+    ``fp`` is the traced table, (K,) or (K, C); ``onehot``/``frac`` come from
+    :func:`static_bracket_weights` with ``n = K``.  One (N, K-1) @ (K-1, 2C)
+    matmul fetches both bracket endpoints for every query; the lerp happens
+    outside the contraction so the interpolation position keeps full f32
+    precision.  ``Precision.HIGHEST`` keeps the table values f32-exact on
+    TPU (the MXU's default f32 dot is a single bf16 pass, ~8 mantissa bits —
+    too coarse for log-density and redshift tables).
+
+    Under ``vmap`` over draws the (constant) ``onehot`` is not batched, so
+    XLA contracts all chains' tables in one well-shaped matmul.
+    """
+    fp = jnp.asarray(fp)
+    squeeze = fp.ndim == 1
+    f2 = fp[:, None] if squeeze else fp
+    onehot = jnp.asarray(onehot, dtype=f2.dtype)
+    frac = jnp.asarray(frac, dtype=f2.dtype)
+    cols = jnp.concatenate([f2[:-1], f2[1:]], axis=1)  # (K-1, 2C)
+    vals = jnp.dot(
+        onehot, cols, precision=jax.lax.Precision.HIGHEST, preferred_element_type=f2.dtype
+    )
+    c = f2.shape[1]
+    lo, hi = vals[:, :c], vals[:, c:]
+    out = lo + frac[:, None] * (hi - lo)
+    return out[:, 0] if squeeze else out
 
 
 def inverse_interp(y: jnp.ndarray, xp: jnp.ndarray, fp: jnp.ndarray) -> jnp.ndarray:

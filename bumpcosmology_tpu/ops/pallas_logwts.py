@@ -118,11 +118,13 @@ def _block_logwts(det_z, det_j, bump_t, scal, a, q, dl, log_pdraw):
     ldn1, ldn2 = log_dndm[:n], log_dndm[n:]
 
     # --- Madau-Dickinson rate shape, normalized at z=0 (models/redshift.py)
+    # log1p(x**k) spelled softplus(k*log x): mathematically identical for
+    # x > 0, and avoids math.powf, which Mosaic does not legalize on TPU.
     opz_ratio = (1.0 + z) / (1.0 + zp)
     log_dndv = (
         lam * jnp.log1p(z)
-        - jnp.log1p(opz_ratio**kappa)
-        + jnp.log1p((1.0 / (1.0 + zp)) ** kappa)
+        - jax.nn.softplus(kappa * jnp.log(opz_ratio))
+        + jax.nn.softplus(-kappa * jnp.log1p(zp))
     )
 
     return (

@@ -235,3 +235,70 @@ def test_interp_unit_tiled_exact_vs_flat():
         )(fp, x)
         for a, b in zip(g_ref, g_til):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_static_bracket_matches_gather():
+    """fetch_static_bracket == interp_unit_spaced for in-range + clamped
+    queries, single- and multi-column tables, value and table-gradient."""
+    import jax
+
+    from bumpcosmology_tpu.ops.interp import (
+        fetch_static_bracket,
+        interp_unit_spaced,
+        static_bracket_weights,
+    )
+
+    rng = np.random.default_rng(11)
+    for K, C in [(256, 2), (100, 1)]:
+        fp = jnp.asarray(
+            rng.normal(size=(K,)) if C == 1 else rng.normal(size=(K, C))
+        )
+        x0, dx = -0.8, 0.021
+        # queries beyond both ends exercise the constant-extrapolation clamp
+        x = rng.uniform(x0 - 0.5, x0 + dx * (K + 20), size=513)
+        onehot, frac = static_bracket_weights(x, x0, dx, K)
+        assert onehot.shape == (513, K - 1)
+        np.testing.assert_allclose(onehot.sum(axis=1), 1.0)
+        ref = interp_unit_spaced(jnp.asarray(x), x0, dx, fp, method="gather")
+        got = fetch_static_bracket(onehot, frac, fp)
+        # tolerance: the bracket positions are computed in float64 numpy, the
+        # gather path computes (x-x0)/dx in f32 on device — in-cell positions
+        # differ by ~K*eps_f32, so fetched values differ by up to ~1e-4*|df|
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+        g_ref = jax.grad(
+            lambda f: jnp.sum(interp_unit_spaced(jnp.asarray(x), x0, dx, f, method="gather") ** 2)
+        )(fp)
+        g_got = jax.grad(lambda f: jnp.sum(fetch_static_bracket(onehot, frac, f) ** 2))(fp)
+        # same f64-vs-f32 position tolerance as the value check above
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref), rtol=2e-4, atol=5e-4)
+
+
+def test_bracket_potential_matches_fused_path():
+    """The joint potential with precomputed brackets equals the per-eval
+    fused-table path at the same n_det (value + gradient, f32 tolerance)."""
+    import jax
+
+    from bumpcosmology_tpu.inference import likelihoods as lk
+    from bumpcosmology_tpu.inference.model import make_potential, prior_sample
+    from bumpcosmology_tpu.testing import synthetic_pop_cosmo_data
+
+    data = synthetic_pop_cosmo_data(nobs=4, nsamp=16, nsel=64)
+    spec = lk.pop_cosmo_model_spec(data, n_grid=48, n_z=128, n_det=128)
+    try:
+        lk.set_bracket_fetch(True)  # brackets default off on the CPU backend
+        pot_new = jax.jit(jax.value_and_grad(make_potential(spec)))
+        theta = prior_sample(spec, jax.random.PRNGKey(1))
+        v_new, g_new = pot_new(theta)
+    finally:
+        lk.set_bracket_fetch(None)
+    pot_old = jax.jit(
+        jax.value_and_grad(
+            make_potential(lk.pop_cosmo_model_spec(data, n_grid=48, n_z=128, n_det=128))
+        )
+    )
+    v_old, g_old = pot_old(theta)
+    np.testing.assert_allclose(float(v_new), float(v_old), rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_old), rtol=5e-3, atol=5e-3
+    )

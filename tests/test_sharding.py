@@ -250,3 +250,36 @@ def test_o4_full_scale_sharded_matches_dense(cpu_devices):
     np.testing.assert_allclose(
         float(jax.jit(ll_stream)(sites)), float(ll_dense), rtol=2e-5
     )
+
+
+def test_gspmd_bracket_path_matches_dense(cpu_devices):
+    """The static-bracket detector fetch under GSPMD data sharding: the
+    constant (N, K) bracket matrix rides the sharded query axis (XLA
+    partitions a constant-LHS dot without collectives), and value+grad match
+    the dense single-device evaluation."""
+    from bumpcosmology_tpu.inference import likelihoods as lk
+    from bumpcosmology_tpu.inference.model import make_potential, prior_sample
+    from bumpcosmology_tpu.parallel.sharding import shard_pop_cosmo_data
+
+    m1, q, z, pd, m1s, qs, zs, pds = _source_frame(seed=17)
+    table = planck18_table()
+    dl = np.asarray(dl_at_z(table, jnp.asarray(z)))
+    dls = np.asarray(dl_at_z(table, jnp.asarray(zs)))
+    data = make_pop_cosmo_data(
+        m1 * (1 + z), q, dl, pd, m1s * (1 + zs), qs, dls, pds, ndraw=1000.0
+    )
+    mesh = make_mesh(devices=cpu_devices[:8])
+    try:
+        lk.set_bracket_fetch(True)  # CPU backend defaults the brackets off
+        spec = lk.pop_cosmo_model_spec(data, n_grid=64, n_z=128, n_det=128)
+        pot = make_potential(spec)
+        theta = prior_sample(spec, jax.random.PRNGKey(4))
+        v_dense, g_dense = jax.value_and_grad(pot)(theta)
+
+        data_sharded = shard_pop_cosmo_data(data, mesh)
+        spec_sh = lk.pop_cosmo_model_spec(data_sharded, n_grid=64, n_z=128, n_det=128)
+        v_sh, g_sh = jax.jit(jax.value_and_grad(make_potential(spec_sh)))(theta)
+    finally:
+        lk.set_bracket_fetch(None)
+    np.testing.assert_allclose(float(v_sh), float(v_dense), rtol=2e-5, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_dense), rtol=5e-3, atol=5e-3)
