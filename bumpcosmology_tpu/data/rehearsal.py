@@ -167,8 +167,17 @@ def write_rehearsal_catalog(
     threshold: float = 20.0,
     seed: int = 11,
     snr_chunk: int = 16384,
+    use_real_inventory: bool = False,
 ) -> int:
     """Generate a full rehearsal input set; returns the number of PE files.
+
+    With ``use_real_inventory=True`` the files carry the EXACT 56 Zenodo
+    release filenames of the reference build (33 GWTC-2.1 + 23 GWTC-3,
+    ``/root/reference/Snakefile:3-58`` via :data:`fetch.ZENODO_FILES`), with
+    the real per-catalog HDF5 layouts — so a live environment needs zero
+    new code between ``pipeline fetch`` succeeding and the fits running:
+    the rehearsal exercises the identical glob, event-name regex, per-layout
+    reader and rejection path as real data.  ``n_events`` is forced to 56.
 
     Parameters
     ----------
@@ -201,6 +210,13 @@ def write_rehearsal_catalog(
     injection_path = Path(injection_path)
     pe_dir.mkdir(parents=True, exist_ok=True)
     rng = np.random.default_rng(seed)
+
+    inventory = None
+    if use_real_inventory:
+        from bumpcosmology_tpu.data.fetch import ZENODO_FILES
+
+        inventory = [name for _, name in ZENODO_FILES]
+        n_events = len(inventory)  # the full 56-file release set
 
     campaign = draw_injection_campaign(
         ndraw=campaign_ndraw, seed=seed + 1000, snr_chunk=snr_chunk
@@ -256,11 +272,21 @@ def write_rehearsal_catalog(
             continue
 
         samples = _pe_record_array(m1s, qs, zs, rng)
-        evt = f"GW{190400 + written:06d}_{int(rng.integers(0, 235959)):06d}"
-        if written % 2 == 0:
+        if inventory is not None:
+            # exact Zenodo filename; layout follows the catalog the name
+            # belongs to (GWTC2p1 -> O3a PublicationSamples layout,
+            # GWTC3p0 -> O3b C01:Mixed layout)
+            name = inventory[written]
+            if "GWTC2p1" in name:
+                _write_o3a_file(pe_dir / name, samples, rng)
+            else:
+                _write_o3b_file(pe_dir / name, samples, rng)
+        elif written % 2 == 0:
+            evt = f"GW{190400 + written:06d}_{int(rng.integers(0, 235959)):06d}"
             name = f"IGWN-GWTC2p1-v2-{evt}_PEDataRelease_mixed_nocosmo.h5"
             _write_o3a_file(pe_dir / name, samples, rng)
         else:
+            evt = f"GW{190400 + written:06d}_{int(rng.integers(0, 235959)):06d}"
             name = f"IGWN-GWTC3p0-v1-{evt}_PEDataRelease_mixed_nocosmo.h5"
             _write_o3b_file(pe_dir / name, samples, rng)
         written += 1

@@ -49,7 +49,126 @@ __all__ = [
     "make_plpeak_cosmo_sbc_spec_builder",
     "make_brokenpl_cosmo_sbc_spec_builder",
     "sbc_uniformity_pvalues",
+    "rate_reconstruction_ranks",
+    "selection_mu_samples",
 ]
+
+
+def rate_reconstruction_ranks(
+    mu_samples: np.ndarray, r_true: float, rng: np.random.Generator
+) -> np.ndarray:
+    """Frequentist rank-calibration of the rate reconstruction (round-5).
+
+    The rate ``R`` is never a fitted site: the reference derives it post hoc
+    through the unit-normal reparameterization ``R = nobs/mu +
+    sqrt(nobs)/mu * R_unit`` (``intensity_models.py:348-349``) — the Gaussian
+    approximation to the Poisson rate posterior under an (improper) flat
+    prior.  The SBC fleets condition on a fixed ``nobs`` (fixed XLA shapes),
+    so ``R`` has no rank there *by construction*; this check calibrates the
+    reconstruction path itself on its own terms: for each trial, draw
+    ``nobs ~ Poisson(r_true * mu)`` (``mu`` from prior-draw selection
+    estimates — the theta-mixing the real pipeline sees) and compute the
+    reconstruction's CDF at the truth,
+
+        rank = Phi((r_true - nobs/mu) * mu / sqrt(nobs)).
+
+    Under a calibrated reconstruction the ranks are U(0,1); the residual
+    non-uniformity IS the Gaussian-vs-Poisson approximation error at
+    catalog scale (O(1/sqrt(nobs)) Edgeworth skew-term, ~0.01 in CDF at
+    nobs ≈ 56).  The mu-posterior width enters ``R`` one order below the
+    sqrt(nobs)/mu term and is quantified in the artifact, not simulated.
+
+    ``mu_samples``: expected detected counts per trial (r=1 units, i.e.
+    mu = exp(log_mu_sel) * T_obs); ``nobs = 0`` trials (probability
+    e^{-r*mu}, negligible at catalog scale) get the exact rank of the
+    degenerate reconstruction, 1.0.
+    """
+    from scipy.special import ndtr
+
+    mu = np.asarray(mu_samples, dtype=np.float64)
+    nobs = rng.poisson(r_true * mu)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rank = ndtr((r_true - nobs / mu) * mu / np.sqrt(np.maximum(nobs, 1)))
+    return np.where(nobs == 0, 1.0, rank)
+
+
+def selection_mu_samples(
+    campaign,
+    family: str,
+    n_trials: int,
+    key,
+    threshold: float = 20.0,
+    target_nobs: float = 56.0,
+    r_true: float = 2.3,
+):
+    """Per-prior-draw selection estimates mu(theta) for the rate check.
+
+    Evaluates the model's own selection estimator — exp(logsumexp(log dN -
+    log pdraw) - log Ndraw) over the campaign's detected pool — at
+    ``n_trials`` joint-prior draws, then rescales so the median expected
+    count ``r_true * mu`` equals ``target_nobs`` (the mock campaign's
+    horizon/threshold differ from O3's, so the absolute count is arbitrary;
+    the theta-driven *relative* spread is what the coverage study needs).
+    """
+    import math as _math
+
+    import jax.numpy as jnp
+
+    from bumpcosmology_tpu.data.weights import dm1sqz_dm1ddqdl, planck18_dl_np
+    from bumpcosmology_tpu.inference.likelihoods import (
+        _cosmo_frame_logwts,
+        cosmo_from_sites,
+    )
+    from bumpcosmology_tpu.models.cosmology import build_cosmology
+
+    snr = campaign["SNR"].to_numpy()
+    det = snr > threshold
+    m1 = campaign["m1"].to_numpy()[det]
+    q = campaign["q"].to_numpy()[det]
+    z = campaign["z"].to_numpy()[det]
+    pdraw_src = campaign["pdraw_mqz"].to_numpy()[det]
+    m1d = jnp.asarray(m1 * (1.0 + z))
+    qj = jnp.asarray(q)
+    dl = jnp.asarray(planck18_dl_np(z))
+    log_pdraw = jnp.asarray(np.log(pdraw_src * dm1sqz_dm1ddqdl(m1, q, z)))
+    log_ndraw = _math.log(float(len(campaign)))
+
+    if family == "plpeak":
+        from bumpcosmology_tpu.inference.likelihoods import plpeak_from_sites
+        from bumpcosmology_tpu.models.plpeak import build_plpeak_population
+
+        def build_pop(sites):
+            return build_plpeak_population(plpeak_from_sites(sites))
+
+        proto = make_plpeak_cosmo_sbc_spec_builder()(None)
+    elif family == "brokenpl":
+        from bumpcosmology_tpu.inference.likelihoods import brokenpl_from_sites
+        from bumpcosmology_tpu.models.brokenpl import build_brokenpl_population
+
+        def build_pop(sites):
+            return build_brokenpl_population(brokenpl_from_sites(sites))
+
+        proto = make_brokenpl_cosmo_sbc_spec_builder()(None)
+    else:
+
+        def build_pop(sites):
+            return build_population(population_from_sites(sites))
+
+        proto = make_pop_cosmo_sbc_spec_builder()(None)
+
+    from jax.scipy.special import logsumexp as _lse
+
+    def log_mu(theta):
+        sites = constrain(proto, theta)
+        pop = build_pop(sites)
+        cosmo = build_cosmology(cosmo_from_sites(sites))
+        lw = _cosmo_frame_logwts(pop, cosmo, m1d, qj, dl, log_pdraw)
+        return _lse(lw) - log_ndraw
+
+    thetas = jax.vmap(lambda k: prior_sample(proto, k))(jax.random.split(key, n_trials))
+    log_mus = np.asarray(jax.lax.map(jax.jit(log_mu), thetas), dtype=np.float64)
+    mu = np.exp(log_mus - np.median(log_mus)) * (target_nobs / r_true)
+    return mu
 
 
 def run_sbc(
@@ -637,25 +756,40 @@ def make_mock_pop_cosmo_simulator_fresh(
         )
         logw_all, p_fid_all = bank_logw(snr_obs_ev, m1d_b, q_b, dl_b, w_b)
 
+        def bank_neff(lw):
+            mx = np.max(lw)
+            if not np.isfinite(mx):
+                return None, 0.0
+            w = np.exp(lw - mx)
+            tot = w.sum()
+            return w, tot * tot / np.sum(w * w)
+
+        def gauss3_logpdf(nb, c_mc, s_mc, c_q, s_q, c_dl, s_dl):
+            """Unnormalized-constant-free proposal log-density in
+            (log Mc, q, log dL).  The q-truncation normalizer and the shared
+            -3/2 log 2π are per-event constants — they cancel in the
+            resampling weights, so they are omitted."""
+            m1d_r, q_r, dl_r = nb[0], nb[1], nb[2]
+            lmc_r = np.log(m1d_r * q_r**0.6 / (1.0 + q_r) ** 0.2)
+            ldl_r = np.log(dl_r)
+            return (
+                -0.5 * ((lmc_r - c_mc) / s_mc) ** 2 - np.log(s_mc)
+                - 0.5 * ((q_r - c_q) / s_q) ** 2 - np.log(s_q)
+                - 0.5 * ((ldl_r - c_dl) / s_dl) ** 2 - np.log(s_dl)
+            )
+
+        floor = 2.0 * nsamp
         stacks = [np.empty((nobs, nsamp)) for _ in range(4)]
         for e in range(nobs):
             lw = logw_all[e]
             bank = (m1d_b[e], q_b[e], dl_b[e], p_fid_all[e])
-            # adaptive bank doubling until the retarget Neff clears the
-            # reference's ingestion floor (mock_one_year_samples.py:30-44) —
+            # Stage 1 — adaptive bank doubling until the retarget Neff clears
+            # the reference's ingestion floor (mock_one_year_samples.py:30-44):
             # re-drawing a LARGER bank refines the estimator without changing
-            # the generative law (unlike rejecting the event, which would)
-            size, attempts, neff = pe_bank_size, 0, 0.0
-            while True:
-                mx = np.max(lw)
-                if np.isfinite(mx):
-                    w = np.exp(lw - mx)
-                    tot = w.sum()
-                    neff = tot * tot / np.sum(w * w)
-                else:
-                    w, neff = None, 0.0
-                if neff >= 2.0 * nsamp or attempts >= max_bank_doublings:
-                    break
+            # the generative law (unlike rejecting the event, which would).
+            size, attempts = pe_bank_size, 0
+            w, neff = bank_neff(lw)
+            while neff < floor and attempts < max_bank_doublings:
                 attempts += 1
                 size *= 2
                 nb = draw_mock_pe_samples(
@@ -665,13 +799,63 @@ def make_mock_pop_cosmo_simulator_fresh(
                 lw2, pf2 = bank_logw(snr_obs_ev[e : e + 1], *nb)
                 lw = lw2[0]
                 bank = (nb[0][0], nb[1][0], nb[2][0], pf2[0])
+                w, neff = bank_neff(lw)
+            # Stage 2 — adaptive moment-matched proposal (round-5: the floor
+            # is ENFORCED, not warned past).  When the retargeted posterior
+            # sits in the far tail of the likelihood-shaped proposal (the
+            # round-4 suites logged banks at Neff 14 after 16x doubling),
+            # doubling converges ~linearly and stalls.  Instead: fit weighted
+            # moments of the current bank in (log Mc, q, log dL), redraw from
+            # a recentered proposal widened to cover both the posterior and
+            # the displacement, and correct the weights by the exact
+            # proposal-density ratio — the estimated law is unchanged (same
+            # target, different importance proposal), only its Neff improves.
+            adapt = 0
+            while neff < floor and adapt < 8:
+                adapt += 1
+                if w is not None and w.sum() > 0:
+                    wn = w / w.sum()
+                    lmc_cur = np.log(bank[0] * bank[1] ** 0.6 / (1.0 + bank[1]) ** 0.2)
+                    ldl_cur = np.log(bank[2])
+                    coords = (lmc_cur, bank[1], ldl_cur)
+                    sig0 = (unc.sigma_log_mc[e], unc.sigma_q[e], unc.sigma_log_dl[e])
+                    cs = []
+                    for x_cur, s0 in zip(coords, sig0):
+                        mu = float(np.sum(wn * x_cur))
+                        sd = float(np.sqrt(max(np.sum(wn * (x_cur - mu) ** 2), 0.0)))
+                        # widen: cover the weighted spread AND the original σ
+                        # (a floor against collapse when Neff is tiny)
+                        cs.append((mu, max(1.5 * sd, float(s0))))
+                    (c_mc, s_mc), (c_q, s_q), (c_dl, s_dl) = cs
+                else:  # no finite weight anywhere: widen around the obs
+                    infl = 2.0 ** adapt
+                    c_mc, s_mc = lmc_obs[e], unc.sigma_log_mc[e] * infl
+                    c_q, s_q = q_obs[e], unc.sigma_q[e] * infl
+                    c_dl, s_dl = ldl_obs[e], unc.sigma_log_dl[e] * infl
+                size = min(size * 2, 1 << 21)
+                nb = draw_mock_pe_samples(
+                    c_mc, s_mc, c_q, s_q, c_dl, s_dl, size=(1, size), rng=rng
+                )
+                lw2, pf2 = bank_logw(snr_obs_ev[e : e + 1], *nb)
+                nb_flat = (nb[0][0], nb[1][0], nb[2][0], pf2[0])
+                # exact proposal correction: + log g0(x) − log g'(x), where
+                # g0 is the original likelihood-shaped proposal bank_logw
+                # assumes; truncation constants cancel per event
+                corr = gauss3_logpdf(
+                    nb_flat, lmc_obs[e], unc.sigma_log_mc[e],
+                    q_obs[e], unc.sigma_q[e], ldl_obs[e], unc.sigma_log_dl[e],
+                ) - gauss3_logpdf(nb_flat, c_mc, s_mc, c_q, s_q, c_dl, s_dl)
+                lw_new = lw2[0] + corr
+                w_new, neff_new = bank_neff(lw_new)
+                if neff_new > neff:
+                    lw, bank, w, neff = lw_new, nb_flat, w_new, neff_new
             if w is None:
                 print(f"[sbc] WARNING: event {e} bank has no finite weight; uniform fallback")
                 w = np.isfinite(bank[3]).astype(float)
-            elif neff < 2.0 * nsamp:
+            elif neff < floor:
                 print(
-                    f"[sbc] WARNING: event {e} bank Neff {neff:.0f} < {2 * nsamp} "
-                    f"after doubling to {size}"
+                    f"[sbc] WARNING: event {e} bank Neff {neff:.0f} < {floor:.0f} "
+                    f"after {attempts} doublings + {adapt} adaptive proposals (size {size})"
                 )
             pick = rng.choice(len(w), size=nsamp, p=w / w.sum())
             for j in range(4):

@@ -130,10 +130,19 @@ def log_pm1_brokenpl(p: BrokenPLMassParams, m1):
     # already handles m1 ≤ mmin; the mmax truncation and the q-table edge
     # are linear log-density ramps instead of −∞, so the likelihood stays
     # finite with informative gradients at every hyperparameter draw.
+    #
+    # The table-edge wall sits exactly at M_TAB_HI (not inside it): brokenpl's
+    # mmax prior is Uniform(50, 200) = Uniform(50, M_TAB_HI), and a wall at
+    # M_TAB_HI − 10 would dominate the model's own truncation for
+    # mmax ∈ (190, 200], making that prior slice likelihood-degenerate
+    # (round-4 advisor finding).  In (190, 200] the q-norm table is still
+    # in-range (no extrapolation), and beyond M_TAB_HI the 25 nats/Msun ramp
+    # swamps the table's constant extrapolation within a fraction of a Msun.
+    # plpeak keeps its interior wall — its mmax prior tops out at 100.
     return (
         out
         - WALL_SLOPE * jnp.maximum(m1 - p.mmax, 0.0)
-        - WALL_SLOPE * jnp.maximum(m1 - (M_TAB_HI - 10.0), 0.0)
+        - WALL_SLOPE * jnp.maximum(m1 - M_TAB_HI, 0.0)
     )
 
 

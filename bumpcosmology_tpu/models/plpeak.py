@@ -209,8 +209,11 @@ def log_pm1_plpeak(p: PLPeakMassParams, m1):
         - _log_pl_norm_inv(p.alpha, p.mmin, p.mmax)
     )
     # soft mmax truncation of the power-law component (see WALL_SLOPE): the
-    # extra component mass above mmax is ≤ pdf(mmax)/WALL_SLOPE ≈ 10⁻²³,
-    # so the hard-truncated normalization stays exact to float precision
+    # extra component mass above mmax integrates to pdf(mmax)/WALL_SLOPE —
+    # ~10⁻⁶–10⁻⁵ of the component for typical alpha (the 10⁻²³ figure in the
+    # WALL_SLOPE comment is the mass *beyond 2 Msun past* the wall), orders
+    # below the per-event MC noise, so the hard-truncated normalization
+    # constant is kept unmodified
     log_pl = log_pl - WALL_SLOPE * jnp.maximum(m1 - p.mmax, 0.0)
     log_peak = (
         jnp.log(p.lam_peak)
@@ -263,12 +266,22 @@ def _log_nq_grid(beta_q, mmin, delta_m, n_m: int, n_q: int):
     (PLPeak here, the broken power law in :mod:`models.brokenpl`): the
     pairing normalization depends only on (β_q, mmin, δ_m).
 
-    The integrand is steep near the q ≈ mmin/m1 cut, so the quadrature runs
-    in log q (static log-spaced nodes, trapezoid in u = log q):
-    ∫ dq q^β S = ∫ du e^{(β+1)u} S(e^u·m1).  Contributions below
-    Q_TAB_LO are zero for every m1 in the table range (S cuts q < mmin/m1 and
-    mmin ≥ 2 ⇒ q_cut ≥ 2/200 > 1e-2 ≫ integration floor... the floor is
-    conservative at 1e-3).
+    The integrand is steep near the q ≈ mmin/m1 turn-on, so the quadrature
+    runs in log q (static log-spaced nodes, trapezoid in u = log q):
+    ∫ dq q^β S = ∫ du e^{(β+1)u} S(e^u·m1).
+
+    Q_TAB_LO is part of the model definition, not a numerical shortcut:
+    with the round-4 soft foot, S never reaches 0 (log S follows the
+    FOOT_SLOPE ramp down to a constant ≈ −8 − FOOT_SLOPE·mmin as q → 0), so
+    for β_q ≤ −1 the untruncated ∫_0 dq q^β S diverges at q = 0 and the
+    floor acts as the pairing integral's hard lower bound on q.  The
+    e⁻⁸-suppressed foot mass *retained* in [Q_TAB_LO, mmin/m1] is genuinely
+    nonzero density; the mass *truncated* below Q_TAB_LO is bounded by
+    e^{−8−FOOT_SLOPE·(mmin − Q_TAB_LO·m1)} · (Q_TAB_LO·m1/mmin)^{β_q+1} of
+    N_q — at the β_q = −4 prior edge with the worst table corner
+    (m1 = 200, mmin = 2) that is ≈ e^{−15.2}·10³ ≈ 3·10⁻⁴, well under the
+    per-event MC noise; for β_q > −1 it is smaller still.  The SBC
+    certificates fit and simulate with this same truncated normalization.
     """
     dm = (M_TAB_HI - M_TAB_LO) / (n_m - 1)
     m1 = M_TAB_LO + dm * jnp.arange(n_m)
@@ -276,12 +289,13 @@ def _log_nq_grid(beta_q, mmin, delta_m, n_m: int, n_q: int):
     log_integrand = (beta_q + 1.0) * u[None, :] + log_planck_taper(
         jnp.exp(u)[None, :] * m1[:, None], mmin, delta_m
     )
-    # Clamp the -inf integrand entries (S ≡ 0 below the taper) to a large
-    # finite floor BEFORE the log-trapezoid: an all--inf row (m1 ≤ mmin)
-    # would make logsumexp's softmax 0/0 → NaN gradients, and the
-    # matmul/tiled interp contraction downstream requires a finite table
-    # anyway.  e^-1e4 is exactly 0 in f32, and the m1 ≤ mmin rows are never
-    # reached (log_pm1 is already -inf there).
+    # Floor the integrand at -1e4 BEFORE the log-trapezoid.  With the soft
+    # foot, log_planck_taper is finite everywhere (no -inf entries in the
+    # interior), so this guards only pathological underflow corners; it also
+    # keeps the table finite for the matmul/tiled interp contraction
+    # downstream.  Note m1 ≤ mmin rows ARE reached now — they carry the
+    # finite e⁻⁸-suppressed foot density, not -inf — so the floor must stay
+    # far below the foot (log S ≥ −8 − FOOT_SLOPE·mmin ≥ −48 over the prior).
     log_nq = log_trapz(jnp.maximum(log_integrand, -1e4), u[None, :], axis=1)
     return dm, log_nq
 

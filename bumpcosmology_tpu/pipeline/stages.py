@@ -474,7 +474,41 @@ def _stage_sbc(cfg: PipelineConfig):
         chunk_size=c.fleet_chunk,
     )
     pvals = sbc_uniformity_pvalues(ranks)
-    bad = write_sbc_artifact(cfg.paths.path("sbc_ranks.h5"), c.model, c.n_sims, ranks, pvals)
+
+    # rate-reconstruction calibration (round-5): R is not a fitted site, so
+    # the fleet gives it no rank; check the post-hoc reconstruction path's
+    # frequentist coverage at catalog scale with this suite's own family +
+    # campaign driving the mu(theta) mixing (docstring of
+    # rate_reconstruction_ranks for the statistics)
+    rate_ranks, rate_p = None, None
+    if c.model in ("pop_cosmo", "plpeak_cosmo", "brokenpl_cosmo"):
+        try:
+            from scipy.stats import kstest
+
+            from bumpcosmology_tpu.inference.calibration import (
+                rate_reconstruction_ranks,
+                selection_mu_samples,
+            )
+
+            fam = {"pop_cosmo": "bump", "plpeak_cosmo": "plpeak",
+                   "brokenpl_cosmo": "brokenpl"}[c.model]
+            mu = selection_mu_samples(
+                inj, fam, max(512, 4 * c.n_sims), jax.random.PRNGKey(c.seed + 9),
+                threshold=c.threshold,
+            )
+            rate_ranks = rate_reconstruction_ranks(
+                mu, r_true=2.3, rng=np.random.default_rng(c.seed + 10)
+            )
+            rate_p = float(kstest(rate_ranks, "uniform").pvalue)
+            print(f"[sbc] rate-reconstruction rank uniformity: p={rate_p:.3f} "
+                  f"({len(rate_ranks)} trials)")
+        except Exception as err:  # the fleet certificate must not die on this
+            print(f"[sbc] WARNING: rate-reconstruction check failed: {err!r}")
+
+    bad = write_sbc_artifact(
+        cfg.paths.path("sbc_ranks.h5"), c.model, c.n_sims, ranks, pvals,
+        rate_ranks=rate_ranks, rate_p=rate_p,
+    )
     print("[sbc] uniformity p-values:", {k: round(v, 3) for k, v in pvals.items()})
     if bad:
         print(f"[sbc] WARNING: sites failing uniformity at p<0.01: {bad}")
@@ -482,7 +516,10 @@ def _stage_sbc(cfg: PipelineConfig):
         print(f"[sbc] all {len(pvals)} sites pass uniformity at p>=0.01")
 
 
-def write_sbc_artifact(out, model: str, n_sims: int, ranks: dict, pvals: dict) -> list:
+def write_sbc_artifact(
+    out, model: str, n_sims: int, ranks: dict, pvals: dict,
+    rate_ranks=None, rate_p=None,
+) -> list:
     """Persist SBC ranks + per-site verdicts; returns the failing sites.
 
     Pass/fail is stored as first-class datasets (``pvalues/site``,
@@ -508,6 +545,17 @@ def write_sbc_artifact(out, model: str, n_sims: int, ranks: dict, pvals: dict) -
         g2.create_dataset("passed", data=np.array([pvals[s] >= 0.01 for s in sites]))
         for k, v in pvals.items():
             g2.attrs[k] = v
+        if rate_ranks is not None:
+            g3 = f.create_group("rate_check")
+            g3.create_dataset("ranks", data=np.asarray(rate_ranks))
+            g3.attrs["p"] = float(rate_p)
+            g3.attrs["passed"] = bool(rate_p >= 0.01)
+            g3.attrs["method"] = (
+                "frequentist rank coverage of the Gaussian R reconstruction "
+                "(R = nobs/mu + sqrt(nobs)/mu * R_unit) with nobs ~ "
+                "Poisson(2.3 * mu(theta)), mu from prior draws on this "
+                "suite's campaign; see inference/calibration.py"
+            )
     return bad
 
 

@@ -199,3 +199,79 @@ def test_write_sbc_artifact_verdict_datasets(tmp_path):
         assert p["h"] == pytest.approx(0.73) and passed["h"]
         # older-layout readers (figures/plots.py) still see per-site attrs
         assert dict(f["pvalues"].attrs)["h"] == pytest.approx(0.73)
+
+
+def test_bank_floor_enforced_and_law_preserved(capsys):
+    """Round-5 bank-quality enforcement: with a deliberately tiny initial
+    bank the simulator must (a) clear the 2*nsamp Neff floor via adaptive
+    moment-matched proposals (zero sub-bar warnings), and (b) leave the
+    estimated per-event law unchanged — the resampled banks from the tiny
+    (adaptive) and large (plain) runs agree in location within MC error."""
+    from bumpcosmology_tpu.inference.calibration import (
+        make_mock_pop_cosmo_simulator_fresh,
+        make_pop_cosmo_sbc_spec_builder,
+    )
+    from bumpcosmology_tpu.inference.model import constrain, prior_sample
+
+    inj = draw_injection_campaign(ndraw=80_000, seed=35, snr_chunk=8192)
+    proto = make_pop_cosmo_sbc_spec_builder(n_grid=64, n_z=128)(None)
+    sites = {
+        k: np.asarray(v)
+        for k, v in constrain(proto, prior_sample(proto, jax.random.PRNGKey(41))).items()
+    }
+    datas = {}
+    for label, bank in [("tiny", 64), ("big", 8192)]:
+        simulate = make_mock_pop_cosmo_simulator_fresh(
+            inj, nobs=4, nsamp=64, nsel=48, pe_bank_size=bank,
+            threshold=10.0, snr_channel=True, max_bank_doublings=2,
+        )
+        # same rng seed => identical noise draws, detected pools, events and
+        # observed data — only the banks differ (different proposals)
+        datas[label] = simulate(np.random.default_rng(42), sites)
+    out = capsys.readouterr().out
+    assert "bank Neff" not in out, f"sub-floor bank survived:\n{out}"
+
+    a_t = np.asarray(datas["tiny"].events.a)
+    a_b = np.asarray(datas["big"].events.a)
+    for e in range(a_t.shape[0]):
+        lt, lb = np.log(a_t[e]), np.log(a_b[e])
+        pooled = np.sqrt(0.5 * (lt.var() + lb.var())) + 1e-6
+        assert abs(lt.mean() - lb.mean()) < 1.0 * pooled, (
+            f"event {e}: bank location shifted by "
+            f"{abs(lt.mean()-lb.mean())/pooled:.2f} pooled sd"
+        )
+
+
+def test_rate_reconstruction_calibrated_at_catalog_scale():
+    """The Gaussian R reconstruction is rank-calibrated at nobs ~ 56 within
+    its own O(1/sqrt(n)) approximation error: KS p >= 0.01 at suite scale,
+    and 90% central-interval coverage within a point of nominal."""
+    from scipy.stats import kstest
+
+    from bumpcosmology_tpu.inference.calibration import rate_reconstruction_ranks
+
+    rng = np.random.default_rng(7)
+    # mu varies across trials like prior-draw selection estimates do
+    # (log-normal spread ~0.5 dex around the catalog scale mu ~ 24)
+    mu = np.exp(rng.normal(np.log(24.0), 0.5, size=2048))
+    ranks = rate_reconstruction_ranks(mu, r_true=2.3, rng=rng)
+    assert np.all((ranks >= 0.0) & (ranks <= 1.0))
+    p = kstest(ranks, "uniform").pvalue
+    assert p >= 0.01, f"rate reconstruction rank uniformity rejected: p={p:.2e}"
+    # 90% central interval: rank in (0.05, 0.95)
+    cov = np.mean((ranks > 0.05) & (ranks < 0.95))
+    assert abs(cov - 0.90) < 0.025, f"90% coverage came out {cov:.3f}"
+
+
+def test_rate_reconstruction_detects_broken_reconstruction():
+    """Negative control: a reconstruction with the wrong scale fails the
+    same uniformity test (the check has teeth)."""
+    from scipy.special import ndtr
+    from scipy.stats import kstest
+
+    rng = np.random.default_rng(8)
+    mu = np.exp(rng.normal(np.log(24.0), 0.5, size=2048))
+    nobs = rng.poisson(2.3 * mu)
+    # wrong width: sqrt(nobs)/mu inflated 2x
+    bad = ndtr((2.3 - nobs / mu) * mu / (2.0 * np.sqrt(np.maximum(nobs, 1))))
+    assert kstest(bad, "uniform").pvalue < 1e-6

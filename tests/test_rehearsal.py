@@ -217,3 +217,48 @@ def test_pipeline_all_rehearsal_one_command(tmp_path):
     assert len(figs) >= 7  # mock-branch figure legitimately absent
     report = data_dir / "report"
     assert (report / "ms.tex").exists() and (report / "report.pdf").exists()
+
+
+@pytest.mark.slow
+def test_rehearsal_full_56_event_inventory(tmp_path):
+    """Round-5 real-data on-ramp: the rehearsal writes the EXACT 56 Zenodo
+    release filenames (33 GWTC-2.1 + 23 GWTC-3, Snakefile:3-58) in the real
+    per-catalog layouts, and the real ingestion stages produce both fit
+    inputs from them — a live environment needs zero new code after fetch."""
+    from bumpcosmology_tpu.data.fetch import ZENODO_FILES
+    from bumpcosmology_tpu.data.rehearsal import write_rehearsal_catalog
+    from bumpcosmology_tpu.pipeline.config import PipelineConfig
+    from bumpcosmology_tpu.pipeline.stages import build_pipeline
+
+    data_dir = tmp_path / "data"
+    pe_dir = data_dir / "pe-samples-raw"
+    inj = data_dir / "endo3_bbhpop-LIGO-T2100113-v12.hdf5"
+    n = write_rehearsal_catalog(
+        pe_dir, inj, nsamp_store=1024, campaign_ndraw=1_200_000,
+        threshold=12.0, seed=29, use_real_inventory=True,
+    )
+    assert n == 56
+    want = {name for _, name in ZENODO_FILES}
+    got = {p.name for p in pe_dir.glob("*.h5")}
+    assert got == want, f"missing: {sorted(want - got)[:3]} extra: {sorted(got - want)[:3]}"
+
+    cfg = PipelineConfig()
+    cfg.paths.data_dir = str(data_dir)
+    cfg.paths.pe_raw_dir = str(pe_dir)
+    cfg.paths.injection_file = str(inj)
+    cfg.ingest.nsamp_pe = 128  # the reference's own nsamp (draw_pe_samples.py:11)
+    cfg.ingest.nsamp_sel = 1024
+
+    pipe = build_pipeline(cfg)
+    pipe.run(["draw_pe_samples", "draw_selection_samples"])
+    assert (data_dir / "pe-samples.h5").exists()
+    assert (data_dir / "selection-samples.h5").exists()
+
+    import pandas as pd
+
+    pe = pd.read_hdf(data_dir / "pe-samples.h5")
+    n_events = pe["evt"].nunique()
+    # the m2-median / Neff ingestion rejections may drop a few events, as
+    # they do on real data (weighting.py:88-100) — but the bulk must survive
+    assert n_events >= 45, f"only {n_events}/56 events survived ingestion"
+    assert set(pe.columns) >= {"evt", "m1", "q", "z", "wt"}
