@@ -254,9 +254,9 @@ def test_rehearsal_full_56_event_inventory(tmp_path):
     assert (data_dir / "pe-samples.h5").exists()
     assert (data_dir / "selection-samples.h5").exists()
 
-    import pandas as pd
+    from bumpcosmology_tpu.utils.io import read_table
 
-    pe = pd.read_hdf(data_dir / "pe-samples.h5")
+    pe = read_table(data_dir / "pe-samples.h5")
     n_events = pe["evt"].nunique()
     # the m2-median / Neff ingestion rejections may drop a few events, as
     # they do on real data (weighting.py:88-100) — but the bulk must survive
