@@ -80,6 +80,10 @@ jobs = [
         lambda s: fam.pop_det(s, pop_data, n_grid=256), 717101,
     ),
 ]
+import os
+
+if os.environ.get("MODES_JOINT_ONLY"):  # wall-clock fallback: flagship joint only
+    jobs = jobs[:1]
 
 for model, fname, spec, det_fn, seed in jobs:
     t0 = time.perf_counter()
