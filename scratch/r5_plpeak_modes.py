@@ -103,7 +103,7 @@ for model, fname, spec, det_fn, seed in jobs:
         "chains_per_mode": np.bincount(labels).tolist(),
         "weights": [float(w) for w in weights],
         "log_z": [None if r is None else float(r.log_z) for r in bridge],
-        "log_z_err": [None if r is None else float(r.log_z_err) for r in bridge],
+        "log_z_se": [None if r is None else float(r.se) for r in bridge],
         "per_mode_diag": {str(m): d for m, d in per_mode.items()},
         "divergences": ndiv,
     }
